@@ -1,0 +1,357 @@
+"""Bootstrap particle filter as a single ``lax.scan`` over time.
+
+The reference's Akka ``Flow.scan(stepFilter)`` (ParticleFilter.scala:116-166)
+becomes one jitted scan:
+
+* particle propagation, weighting and the log-sum-exp update are fused
+  ``[N]``-wide vector ops (VPU / MXU via the design-vector contraction);
+* resampling is cumulative-sum + ``searchsorted`` (see
+  :mod:`.resampling`), executed under a scalar ``lax.cond`` so
+  missing-observation steps skip the gather entirely;
+* irregular observation times and missing observations are *data*
+  (``dt = t_i - t_{i-1}`` and a boolean mask), not control flow, so the whole
+  filter compiles once for a given (model, N, T) shape.
+
+Semantic invariants preserved from the reference (ParticleFilter.scala):
+
+* resample at **every** observation (:129 -- the default; an optional
+  ESS-threshold trigger generalises this without changing the default path);
+* ``ll += max + log(mean(exp(w - max)))`` (:124-127);
+* ESS = floor(1 / sum(w_hat^2)) (:431-434);
+* missing observation => propagate only, ll/ESS unchanged (:120-121);
+* a fixed-init variant (FilterInit, :252-271).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.model import Model
+from ..models.tree import Tree
+from ..utils.data import TimeSeries
+from . import resampling as rs
+
+
+# ---------------------------------------------------------------------------
+# summaries
+# ---------------------------------------------------------------------------
+
+
+def credible_interval_eta(samples, interval: float = 0.975):
+    """Order-statistic interval, eta flavour.
+
+    Reference: ParticleFilter.getOrderStatistic (:455-460):
+    lower = sorted[n - idx], upper = sorted[idx], idx = floor(n * interval).
+    """
+    n = samples.shape[0]
+    idx = math.floor(n * interval)
+    s = jnp.sort(samples, axis=0)
+    return s[n - idx], s[min(idx, n - 1)]
+
+
+def credible_interval_state(samples, interval: float = 0.975):
+    """Order-statistic interval, state flavour (off-by-one as in reference).
+
+    Reference: ParticleFilter.getCredibleInterval (:488-502):
+    lower = sorted[n - idx - 1], upper = sorted[idx - 1].
+    Works on [N] or [N, d] (per-column).
+    """
+    n = samples.shape[0]
+    idx = math.floor(n * interval)
+    s = jnp.sort(samples, axis=0)
+    return s[n - idx - 1], s[idx - 1]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PfSummary:
+    """Per-step filtering summaries (the reference ``PfOut``,
+    ParticleFilter.scala:53-59 + getIntervals :415-424)."""
+
+    ts: jnp.ndarray           # [T]
+    eta_mean: jnp.ndarray     # [T]     link(f(mean state, t))
+    eta_lower: jnp.ndarray    # [T]
+    eta_upper: jnp.ndarray    # [T]
+    state_mean: jnp.ndarray   # [T, d]
+    state_lower: jnp.ndarray  # [T, d]
+    state_upper: jnp.ndarray  # [T, d]
+
+    def tree_flatten(self):
+        return ((self.ts, self.eta_mean, self.eta_lower, self.eta_upper,
+                 self.state_mean, self.state_lower, self.state_upper), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FilterResult:
+    """Output of :func:`bootstrap_filter`.
+
+    ``ll`` is the log marginal-likelihood estimate; ``ll_history`` its
+    cumulative trajectory; ``ess`` the per-step effective sample size
+    (reference ``PfState``, ParticleFilter.scala:32-37).
+    """
+
+    ll: jnp.ndarray                       # scalar
+    ll_history: jnp.ndarray               # [T]
+    ess: jnp.ndarray                      # [T] int32
+    final_particles: jnp.ndarray          # [N, d]
+    summary: Optional[PfSummary]          # store='summary'
+    sampled_path: Optional[jnp.ndarray]   # [T, d] when store='path'
+
+    def tree_flatten(self):
+        return ((self.ll, self.ll_history, self.ess, self.final_particles,
+                 self.summary, self.sampled_path), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+# ---------------------------------------------------------------------------
+# the filter
+# ---------------------------------------------------------------------------
+
+
+def _make_save_fn(model: Model, store, interval: float):
+    if store == "ll" or store is None:
+        return lambda t, particles, key: ()
+    if store == "path":
+        # one uniformly sampled particle per step (reference filter(),
+        # ParticleFilter.scala:152-158 + Resampling.sampleOne)
+        def save(t, particles, key):
+            i = jax.random.randint(key, (), 0, particles.shape[0])
+            return particles[i]
+        return save
+    if store == "summary":
+        def save(t, particles, key):
+            mean = jnp.mean(particles, axis=0)
+            s_lo, s_hi = credible_interval_state(particles, interval)
+            etas = model.link(model.f(particles, t))
+            eta_mean = model.link(model.f(mean, t))
+            e_lo, e_hi = credible_interval_eta(etas, interval)
+            return (eta_mean, e_lo, e_hi, mean, s_lo, s_hi)
+        return save
+    if callable(store):
+        return store
+    raise ValueError(f"unknown store mode {store!r}")
+
+
+@partial(jax.jit,
+         static_argnames=("model", "n_particles", "resample", "store",
+                          "ess_threshold", "interval"))
+def _filter_impl(model: Model, params: Tree, data: TimeSeries,
+                 n_particles: int, key, t0, x_init,
+                 resample: str, store, ess_threshold, interval: float):
+    resample_fn = rs.get_scheme(resample)
+    save_fn = _make_save_fn(model, store, interval)
+
+    k_init, k_scan = jax.random.split(key)
+    if x_init is None:
+        particles = model.initial_state(params, k_init, (n_particles,))
+    else:
+        x_init = jnp.asarray(x_init)
+        if x_init.ndim == 1:
+            # FilterInit: every particle starts at the supplied state
+            # (ParticleFilter.scala:252-271)
+            particles = jnp.broadcast_to(x_init, (n_particles,) + x_init.shape)
+        else:
+            particles = x_init
+
+    dtype = particles.dtype
+    n = particles.shape[0]
+    # carried normalised weights; uniform under always-resample, general
+    # under an ESS-threshold trigger
+    wn0 = jnp.full((n,), 1.0 / n, dtype=dtype)
+
+    def step(carry, inp):
+        particles, wn, t_prev, ll, ess = carry
+        t, y, mask, k = inp
+        k_prop, k_res, k_save = jax.random.split(k, 3)
+
+        dt = t - t_prev
+        x1 = model.step(params, k_prop, particles, dt)
+
+        # -- weights (masked: a missing observation contributes nothing) ----
+        y_safe = jnp.where(mask, y, 0.0)
+        gamma = model.f(x1, t)
+        logw = model.log_density(params, gamma, y_safe)
+        logw = jnp.where(mask, logw, 0.0)
+
+        maxw = jnp.max(logw)
+        u = wn * jnp.exp(logw - maxw)           # unnormalised updated weights
+        total = jnp.sum(u)
+        ll_inc = jnp.where(mask, maxw + jnp.log(total), 0.0)
+        wn1 = u / total
+
+        ess1 = jnp.where(
+            mask,
+            jnp.floor(1.0 / jnp.sum(wn1 * wn1)).astype(jnp.int32),
+            ess)
+
+        if ess_threshold is None:
+            do_resample = mask
+        else:
+            do_resample = mask & (ess1 < ess_threshold * n)
+
+        def yes(args):
+            x, w = args
+            idx = resample_fn(k_res, w)
+            return x[idx], jnp.full((n,), 1.0 / n, dtype=dtype)
+
+        def no(args):
+            return args
+
+        x2, wn2 = jax.lax.cond(do_resample, yes, no, (x1, wn1))
+
+        ll1 = ll + ll_inc
+        out = (save_fn(t, x2, k_save), ll1, ess1)
+        return (x2, wn2, t, ll1, ess1), out
+
+    t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
+    keys = jax.random.split(k_scan, data.ts.shape[0])
+    init = (particles, wn0, t_start, jnp.asarray(0.0, dtype),
+            jnp.asarray(n, jnp.int32))
+    (final_particles, _, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
+        step, init, (data.ts, data.ys, data.mask, keys))
+
+    summary = None
+    path = None
+    if store == "summary":
+        eta_mean, e_lo, e_hi, s_mean, s_lo, s_hi = saved
+        summary = PfSummary(data.ts, eta_mean, e_lo, e_hi, s_mean, s_lo, s_hi)
+    elif store == "path":
+        path = saved
+
+    return FilterResult(ll, ll_hist, ess_hist, final_particles, summary, path)
+
+
+def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
+                     n_particles: int, key, *,
+                     resample: str = "systematic",
+                     t0: Optional[float] = None,
+                     initial_state=None,
+                     store="summary",
+                     ess_threshold: Optional[float] = None,
+                     interval: float = 0.975) -> FilterResult:
+    """Run the bootstrap particle filter over a time series.
+
+    Args:
+      model: a (possibly composed) model spec.
+      params: parameter tree matching the model composition.
+      data: observations (irregular times and missing values supported).
+      n_particles: N.
+      key: PRNG key.
+      resample: 'systematic' | 'stratified' | 'multinomial' | 'residual' |
+        'identity' or a custom ``(key, weights) -> indices`` kernel.
+      t0: filter start time (default: time of the first observation, as the
+        reference ``llFilter``/``filter``, ParticleFilter.scala:137-158).
+      initial_state: optional fixed initial state ``[d]`` (FilterInit) or a
+        full initial particle cloud ``[N, d]``.
+      store: 'summary' (PfOut-style per-step summaries), 'path' (one sampled
+        trajectory), 'll' (log-likelihood and ESS only -- the PMMH fast
+        path), or a callable ``(t, particles, key) -> pytree``.
+      ess_threshold: if set, resample only when ESS < threshold * N
+        (the reference always resamples at an observation; this generalises).
+      interval: credible-interval level for summaries.
+    """
+    model.validate_params(params)
+    return _filter_impl(model=model, params=params, data=data,
+                        n_particles=n_particles, key=key, t0=t0,
+                        x_init=initial_state, resample=resample, store=store,
+                        ess_threshold=ess_threshold, interval=interval)
+
+
+def log_likelihood(model: Model, params: Tree, data: TimeSeries,
+                   n_particles: int, key, *,
+                   resample: str = "systematic",
+                   **kwargs) -> jnp.ndarray:
+    """Log marginal-likelihood estimate only (reference ``llFilter``,
+    ParticleFilter.scala:137-140)."""
+    return bootstrap_filter(model, params, data, n_particles, key,
+                            resample=resample, store="ll", **kwargs).ll
+
+
+# ---------------------------------------------------------------------------
+# forecasting (reference: ParticleFilter.scala:368-410)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Forecast:
+    """Reference ``ForecastOut`` (ParticleFilter.scala:71-78)."""
+
+    t: jnp.ndarray
+    obs_mean: jnp.ndarray
+    obs_lower: jnp.ndarray
+    obs_upper: jnp.ndarray
+    eta_mean: jnp.ndarray
+    eta_lower: jnp.ndarray
+    eta_upper: jnp.ndarray
+    state_mean: jnp.ndarray
+    state_lower: jnp.ndarray
+    state_upper: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.t, self.obs_mean, self.obs_lower, self.obs_upper,
+                 self.eta_mean, self.eta_lower, self.eta_upper,
+                 self.state_mean, self.state_lower, self.state_upper), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@partial(jax.jit, static_argnames=("model", "interval"))
+def forecast(model: Model, params: Tree, particles, t_prev, t, key,
+             interval: float = 0.995) -> Forecast:
+    """Advance a filtering particle cloud to time ``t`` and summarise the
+    predictive distribution (reference getForecast/getMeanForecast,
+    ParticleFilter.scala:368-410)."""
+    k_step, k_obs = jax.random.split(key)
+    x1 = model.step(params, k_step, particles, t - t_prev)
+    gamma = model.f(x1, t)
+    eta = model.link(gamma)
+    obs = model.sample_obs(k_obs, params, gamma)
+
+    s_lo, s_hi = credible_interval_state(x1, interval)
+    e_lo, e_hi = credible_interval_eta(eta, interval)
+    o_lo, o_hi = credible_interval_eta(obs, interval)
+    return Forecast(jnp.asarray(t), jnp.mean(obs), o_lo, o_hi,
+                    jnp.mean(eta), e_lo, e_hi,
+                    jnp.mean(x1, axis=0), s_lo, s_hi)
+
+
+def forecast_times(model: Model, params: Tree, particles, t_prev, ts, key,
+                   interval: float = 0.995) -> Forecast:
+    """Iterated forecast over a sequence of future times via ``lax.scan``."""
+    ts = jnp.asarray(ts)
+
+    def body(carry, inp):
+        x, tp = carry
+        t, k = inp
+        k_step, k_obs = jax.random.split(k)
+        x1 = model.step(params, k_step, x, t - tp)
+        gamma = model.f(x1, t)
+        eta = model.link(gamma)
+        obs = model.sample_obs(k_obs, params, gamma)
+        s_lo, s_hi = credible_interval_state(x1, interval)
+        e_lo, e_hi = credible_interval_eta(eta, interval)
+        o_lo, o_hi = credible_interval_eta(obs, interval)
+        out = Forecast(t, jnp.mean(obs), o_lo, o_hi, jnp.mean(eta), e_lo,
+                       e_hi, jnp.mean(x1, axis=0), s_lo, s_hi)
+        return (x1, t), out
+
+    keys = jax.random.split(key, ts.shape[0])
+    _, out = jax.lax.scan(body, (particles, jnp.asarray(t_prev)), (ts, keys))
+    return out

@@ -1,0 +1,170 @@
+"""Bootstrap particle filter: Kalman cross-checks (the BASELINE.json
+correctness gates), missing-data handling, irregular times, composed models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composablestatespacemodels_tpu import (
+    TimeSeries, bootstrap_filter, kalman_filter, linear, log_likelihood,
+    poisson, seasonal, simulate, simulate_regular)
+from composablestatespacemodels_tpu.models import (
+    branch, brownian_motion, brownian_params, leaf, ou_params, ou_process,
+    param_node, parameters)
+
+
+@pytest.fixture(scope="module")
+def lg_case():
+    """Linear-Gaussian model + simulated data + exact Kalman answer."""
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.7), brownian_params(0.5, 0.25, 0.3))
+    sim = simulate_regular(model, params, jax.random.PRNGKey(0), 120, dt=0.5)
+    data = sim.to_timeseries()
+    kf = kalman_filter(model, params, data)
+    return model, params, data, kf
+
+
+def test_pf_loglik_matches_kalman(lg_case):
+    model, params, data, kf = lg_case
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    lls = jnp.stack([
+        log_likelihood(model, params, data, 2000, k) for k in keys])
+    # PF estimate unbiased: mean within a few MC standard errors
+    assert abs(float(jnp.mean(lls) - kf.ll)) < 3.0 * float(jnp.std(lls)) + 0.5
+    # and tight in relative terms
+    np.testing.assert_allclose(jnp.mean(lls), kf.ll, rtol=0.02)
+
+
+def test_pf_filtering_mean_matches_kalman(lg_case):
+    model, params, data, kf = lg_case
+    res = bootstrap_filter(model, params, data, 4000, jax.random.PRNGKey(3),
+                           store="summary")
+    pf_means = res.summary.state_mean[:, 0]
+    kf_means = kf.means[:, 0]
+    err = np.abs(np.asarray(pf_means - kf_means))
+    kf_sd = np.sqrt(np.asarray(kf.covs[:, 0, 0]))
+    # filtering means within a fraction of the posterior sd, on average
+    assert (err / kf_sd).mean() < 0.15
+    # credible intervals bracket the Kalman mean almost everywhere
+    inside = ((np.asarray(res.summary.state_lower[:, 0]) <= kf_means)
+              & (kf_means <= np.asarray(res.summary.state_upper[:, 0])))
+    assert inside.mean() > 0.95
+
+
+def test_missing_observations_propagate_only(lg_case):
+    model, params, data, _ = lg_case
+    data_missing = data.knock_out(20.0, 35.0)
+    n_missing = int((~np.asarray(data_missing.mask)).sum())
+    assert n_missing > 0
+    res = bootstrap_filter(model, params, data_missing, 500,
+                           jax.random.PRNGKey(1), store="summary")
+    kf = kalman_filter(model, params, data_missing)
+    np.testing.assert_allclose(res.ll, kf.ll, rtol=0.05)
+    # intervals should widen during the gap
+    width = (np.asarray(res.summary.state_upper[:, 0])
+             - np.asarray(res.summary.state_lower[:, 0]))
+    gap = ~np.asarray(data_missing.mask)
+    assert width[gap].mean() > width[~gap].mean()
+
+
+def test_irregular_times(key):
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    ts = jnp.cumsum(jax.random.uniform(key, (80,), minval=0.05, maxval=1.5))
+    sim = simulate(model, params, key, ts)
+    data = sim.to_timeseries()
+    kf = kalman_filter(model, params, data)
+    lls = jnp.stack([
+        log_likelihood(model, params, data, 2000, k)
+        for k in jax.random.split(key, 6)])
+    np.testing.assert_allclose(jnp.mean(lls), kf.ll, rtol=0.03)
+
+
+def test_composed_seasonal_kalman_crosscheck(key):
+    """Composed linear+seasonal (OU latent) vs exact Kalman -- the composed
+    correctness gate from BASELINE.json."""
+    model = linear(ou_process(1)) + seasonal(24, 2, ou_process(4))
+    params = branch(
+        leaf(param_node(jnp.log(0.5), ou_params(0.1, 0.5, 0.2, 0.5, 0.3))),
+        leaf(param_node(None, ou_params(0.1, 0.5, 0.3, 0.2, 0.25))))
+    sim = simulate_regular(model, params, key, 100, dt=1.0)
+    data = sim.to_timeseries()
+    kf = kalman_filter(model, params, data)
+    lls = jnp.stack([
+        log_likelihood(model, params, data, 3000, k)
+        for k in jax.random.split(key, 6)])
+    np.testing.assert_allclose(jnp.mean(lls), kf.ll, rtol=0.03)
+    res = bootstrap_filter(model, params, data, 3000, key, store="summary")
+    err = np.abs(np.asarray(res.summary.state_mean - kf.means))
+    sd = np.sqrt(np.asarray(jnp.diagonal(kf.covs, axis1=1, axis2=2)))
+    assert (err / sd).mean() < 0.25
+
+
+def test_poisson_filter_runs(key):
+    model = poisson(ou_process(1))
+    params = parameters(None, ou_params(1.0, 0.5, 0.3, 1.0, 0.3))
+    sim = simulate_regular(model, params, key, 200, dt=0.5)
+    res = bootstrap_filter(model, params, sim.to_timeseries(), 1000, key,
+                           store="summary")
+    assert np.isfinite(float(res.ll))
+    assert res.ess.shape == (200,)
+    assert bool((res.ess >= 1).all())
+    # filtering eta should track the true eta reasonably
+    corr = np.corrcoef(np.asarray(res.summary.eta_mean),
+                       np.asarray(sim.etas))[0, 1]
+    assert corr > 0.5
+
+
+def test_fixed_initial_state(key):
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 50)
+    x0 = jnp.asarray([0.3])
+    res = bootstrap_filter(model, params, sim.to_timeseries(), 200, key,
+                           initial_state=x0, store="ll")
+    assert np.isfinite(float(res.ll))
+
+
+def test_store_path(key):
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 50)
+    res = bootstrap_filter(model, params, sim.to_timeseries(), 100, key,
+                           store="path")
+    assert res.sampled_path.shape == (50, 1)
+
+
+def test_resampling_schemes_agree(key):
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 60)
+    data = sim.to_timeseries()
+    kf = kalman_filter(model, params, data)
+    for scheme in ["systematic", "stratified", "multinomial", "residual"]:
+        lls = jnp.stack([
+            log_likelihood(model, params, data, 1500, k, resample=scheme)
+            for k in jax.random.split(jax.random.fold_in(key, hash(scheme) % 100), 4)])
+        np.testing.assert_allclose(jnp.mean(lls), kf.ll, rtol=0.05)
+
+
+def test_ess_threshold_adaptive(key):
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 60)
+    data = sim.to_timeseries()
+    kf = kalman_filter(model, params, data)
+    lls = jnp.stack([
+        log_likelihood(model, params, data, 2000, k, ess_threshold=0.5)
+        for k in jax.random.split(key, 6)])
+    np.testing.assert_allclose(jnp.mean(lls), kf.ll, rtol=0.05)
+
+
+def test_ll_reproducible(key):
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 30)
+    data = sim.to_timeseries()
+    ll1 = log_likelihood(model, params, data, 300, key)
+    ll2 = log_likelihood(model, params, data, 300, key)
+    assert float(ll1) == float(ll2)
