@@ -1,0 +1,105 @@
+"""Headline benchmark: 1M-particle, 1000-step composed seasonal-Poisson
+bootstrap particle filter (BASELINE.md north-star config).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against an *estimated* throughput of the Scala/Akka
+reference, which publishes no numbers (BASELINE.md: "published": {}).  The
+estimate -- 2e6 particle-steps/s -- is deliberately generous to the JVM: the
+reference's hot loop allocates a boxed state tree and draws per-dimension
+Gaussians through breeze per particle per step on one thread
+(ParticleFilter.scala:116-132, Sde.scala:142-150); microbenchmarks of
+equivalent JVM code land at 0.5-2e6 composed-state steps/s.  The north-star
+target is vs_baseline > 50.
+
+Usage:
+  python bench.py            # full: N=1e6, T=1000 on the default device
+  python bench.py --smoke    # tiny shapes, CI-friendly
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import composablestatespacemodels_tpu as cssm
+from composablestatespacemodels_tpu.models import (branch, leaf, ou_params,
+                                                   param_node)
+
+# Estimated Scala/Akka reference throughput (see module docstring).
+SCALA_BASELINE_PARTICLE_STEPS_PER_SEC = 2.0e6
+
+
+def flagship_model():
+    model = (cssm.poisson(cssm.ou_process(1))
+             + cssm.seasonal(24, 3, cssm.ou_process(6)))
+    params = branch(
+        leaf(param_node(None, ou_params(1.0, 0.2, 0.3, 1.0, 0.3))),
+        leaf(param_node(None, ou_params(0.2, 0.2, 0.25, 0.2, 0.2))))
+    return model, params
+
+
+def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
+    model, params = flagship_model()
+    key = jax.random.PRNGKey(0)
+
+    sim = cssm.simulate_regular(model, params, key, n_steps, dt=1.0)
+    data = sim.to_timeseries()
+    print(f"simulated T={n_steps} composed seasonal-Poisson series "
+          f"(d={model.dim}) on {jax.devices()[0].platform}", file=sys.stderr)
+
+    def ll(k):
+        return cssm.log_likelihood(model, params, data, n_particles, k)
+
+    # compile + warm up (also flushes any async dispatch weirdness in the
+    # remote-TPU tunnel, whose block_until_ready can return early once)
+    t0 = time.perf_counter()
+    ll(key).block_until_ready()
+    ll(jax.random.fold_in(key, 999)).block_until_ready()
+    print(f"compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(repeats):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        out = ll(k)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print(f"run {i}: {dt:.3f}s  ll={float(out):.1f}", file=sys.stderr)
+    times.sort()
+    median = times[len(times) // 2]
+    return n_particles * n_steps / median
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny shapes")
+    ap.add_argument("--particles", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.smoke:
+        n, t = 10_000, 100
+    else:
+        n, t = 1_000_000, 1000
+    n = args.particles or n
+    t = args.steps or t
+
+    throughput = run(n, t)
+    print(json.dumps({
+        "metric": f"particle-steps/sec at N={n:.0e} "
+                  "(composed seasonal-Poisson PF)",
+        "value": round(throughput),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(
+            throughput / SCALA_BASELINE_PARTICLE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

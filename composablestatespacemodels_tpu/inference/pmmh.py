@@ -1,0 +1,237 @@
+"""Particle-marginal Metropolis-Hastings (PMMH), TPU-native.
+
+The reference drives PMMH through a lazy breeze MarkovChain wrapped in an Akka
+Source (PMMH.scala:85-98).  Here the whole chain is one ``lax.scan`` whose
+body inlines a full particle-filter sweep -- iterations never leave the
+device, and independent chains vectorise with ``vmap`` (and shard across
+chips over a mesh axis, see :mod:`..parallel`).
+
+Semantic invariants preserved (PMMH.scala):
+
+* acceptance log-ratio
+  ``ll' + q(prop -> cur) + prior(prop) - q(cur -> prop) - ll - prior(cur)``
+  (:72-73);
+* the cached-likelihood variant reuses the previous PF estimate
+  (ParticleMetropolisHastings, :114-123); the ``approx`` variant re-runs the
+  filter for the current parameters every iteration (ApproxPMMH, :128-153);
+* initial ll = -1e99 so the first proposal is always accepted (:121)
+  (clamped to -1e30 here: finite in float32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.model import Model
+from ..models.tree import Tree
+from ..utils.data import TimeSeries
+from .filter import bootstrap_filter
+
+_INIT_LL = -1e30
+
+
+def flat_prior(params) -> jnp.ndarray:
+    """Improper flat prior (the reference examples' default,
+    DetermineParameters.scala:73)."""
+    return jnp.asarray(0.0)
+
+
+def symmetric_transition(frm, to) -> jnp.ndarray:
+    """q(a -> b) = q(b -> a): cancels in the acceptance ratio."""
+    return jnp.asarray(0.0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PmmhResult:
+    """Stacked chain output (leading axis = iteration).
+
+    Reference: ParamsState/MetropState, PMMH.scala:17-26.
+    """
+
+    params: object          # pytree stacked [iters, ...]
+    lls: jnp.ndarray        # [iters]
+    accepted: jnp.ndarray   # [iters] cumulative accepted count (int32)
+
+    def tree_flatten(self):
+        return ((self.params, self.lls, self.accepted), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_iters(self) -> int:
+        return int(self.lls.shape[-1])
+
+    def acceptance_rate(self):
+        return self.accepted[..., -1] / self.lls.shape[-1]
+
+    def thin(self, burn_in: int = 0, thin: int = 1) -> "PmmhResult":
+        """Burn-in + thinning (reference Streaming.readPosterior,
+        Streaming.scala:113-140).  The iteration axis is the last axis of
+        ``lls`` (axis 0 single-chain, axis 1 for stacked chains)."""
+        axis = self.lls.ndim - 1
+
+        def take(x):
+            return jax.lax.slice_in_dim(x, burn_in, x.shape[axis],
+                                        stride=thin, axis=axis)
+
+        return PmmhResult(jax.tree_util.tree_map(take, self.params),
+                          take(self.lls), take(self.accepted))
+
+
+def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
+                   resample: str = "systematic") -> Callable:
+    """Bundle a model + data into ``(key, params) -> ll``: the reference
+    ``BootstrapFilter`` Reader (package.scala:23-24,
+    ParticleFilter.filterLlState :346-348)."""
+
+    def pf_ll(key, params):
+        return bootstrap_filter(model, params, data, n_particles, key,
+                                resample=resample, store="ll").ll
+
+    return pf_ll
+
+
+def _mh_scan(key, init_params: Tree, pf_ll, proposal, prior,
+             log_transition, n_iters: int, approx: bool):
+
+    def mh_step(carry, k):
+        params, ll, accepted = carry
+        k_prop, k_pf, k_pf_old, k_u = jax.random.split(k, 4)
+
+        prop = proposal(k_prop, params)
+        ll_prop = pf_ll(k_pf, prop)
+        if approx:
+            # doubly-stochastic: refresh the current params' estimate too
+            # (ApproxPMMH, PMMH.scala:138-152)
+            ll_cur = pf_ll(k_pf_old, params)
+        else:
+            ll_cur = ll
+
+        a = (ll_prop + log_transition(prop, params) + prior(prop)
+             - log_transition(params, prop) - ll_cur - prior(params))
+        accept = jnp.log(jax.random.uniform(k_u, (), jnp.result_type(float))) < a
+
+        new_params = jax.tree_util.tree_map(
+            lambda p, q: jnp.where(accept, q, p), params, prop)
+        new_ll = jnp.where(accept, ll_prop, ll_cur)
+        new_acc = accepted + accept.astype(jnp.int32)
+        return (new_params, new_ll, new_acc), (new_params, new_ll, new_acc)
+
+    keys = jax.random.split(key, n_iters)
+    init = (init_params, jnp.asarray(_INIT_LL, jnp.result_type(float)),
+            jnp.asarray(0, jnp.int32))
+    _, (ps, lls, accs) = jax.lax.scan(mh_step, init, keys)
+    return PmmhResult(ps, lls, accs)
+
+
+@partial(jax.jit, static_argnames=("pf_ll", "proposal", "prior",
+                                   "log_transition", "n_iters", "approx"))
+def _pmmh_jit(key, init_params, pf_ll, proposal, prior, log_transition,
+              n_iters, approx):
+    return _mh_scan(key, init_params, pf_ll, proposal, prior, log_transition,
+                    n_iters, approx)
+
+
+def pmmh(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
+         n_iters: int, *,
+         prior: Callable = flat_prior,
+         log_transition: Callable = symmetric_transition,
+         approx: bool = False) -> PmmhResult:
+    """Run one PMMH chain.
+
+    Args:
+      key: PRNG key.
+      init_params: starting parameter tree.
+      pf_ll: ``(key, params) -> log-likelihood`` (see :func:`make_pf_loglik`).
+      proposal: ``(key, params) -> params`` (e.g. ``models.params.perturb``).
+      n_iters: chain length.
+      prior: ``params -> log-prior`` (default flat).
+      log_transition: ``(from, to) -> log q(to | from)`` (default symmetric).
+      approx: re-evaluate the current parameters' likelihood each iteration
+        (the reference ApproxPMMH).
+
+    Reference call stack: DeterminePosterior, DetermineParameters.scala:55-85.
+    """
+    return _pmmh_jit(key, init_params, pf_ll, proposal, prior,
+                     log_transition, n_iters, approx)
+
+
+def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
+                n_iters: int, n_chains: int, *,
+                prior: Callable = flat_prior,
+                log_transition: Callable = symmetric_transition,
+                approx: bool = False) -> PmmhResult:
+    """Run several independent chains with ``vmap`` (the TPU-native
+    replacement for the reference's ``mapAsync(2)`` thread parallelism,
+    DetermineParameters.scala:68-69).  Outputs gain a leading chain axis."""
+    keys = jax.random.split(key, n_chains)
+
+    @partial(jax.jit, static_argnames=())
+    def run_all(keys, init_params):
+        return jax.vmap(lambda k: _mh_scan(
+            k, init_params, pf_ll, proposal, prior, log_transition,
+            n_iters, approx))(keys)
+
+    return run_all(keys, init_params)
+
+
+# ---------------------------------------------------------------------------
+# diagnostics (reference Streaming.scala:19-105)
+# ---------------------------------------------------------------------------
+
+
+def pilot_run(model: Model, params: Tree, data: TimeSeries, key,
+              particle_counts=(100, 200, 500, 1000, 2000), n_reps: int = 100,
+              resample: str = "systematic"):
+    """Variance of the PF log-likelihood estimate at several particle counts.
+
+    Used to choose N for PMMH (aim: ll variance around 1).  The reference
+    fans repetitions over 4 threads (Streaming.pilotRun, :19-40); here each
+    count's repetitions are one ``vmap``.
+
+    Returns a list of ``(n_particles, mean_ll, var_ll)``.
+    """
+    out = []
+    for i, n in enumerate(particle_counts):
+        pf_ll = make_pf_loglik(model, data, int(n), resample)
+        keys = jax.random.split(jax.random.fold_in(key, i), n_reps)
+        lls = jax.jit(jax.vmap(lambda k: pf_ll(k, params)))(keys)
+        out.append((int(n), float(jnp.mean(lls)), float(jnp.var(lls))))
+    return out
+
+
+def gelman_rubin(chain_values: jnp.ndarray) -> jnp.ndarray:
+    """Potential scale reduction factor R-hat over [n_chains, n_iters].
+
+    The reference delegates convergence diagnostics to R/coda
+    (R/Plots.R:97-107); provided natively here.
+    """
+    m, n = chain_values.shape
+    chain_means = jnp.mean(chain_values, axis=1)
+    grand = jnp.mean(chain_means)
+    b = n / (m - 1) * jnp.sum((chain_means - grand) ** 2)
+    w = jnp.mean(jnp.var(chain_values, axis=1, ddof=1))
+    var_hat = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_hat / w)
+
+
+def effective_chain_size(values: jnp.ndarray, max_lag: int = 200) -> float:
+    """MCMC effective sample size via initial-positive-sequence autocorr."""
+    x = values - jnp.mean(values)
+    n = x.shape[0]
+    var = jnp.var(values)
+    max_lag = min(max_lag, n - 1)
+    acf = jnp.stack([
+        jnp.sum(x[:n - lag] * x[lag:]) / (n * var)
+        for lag in range(1, max_lag + 1)])
+    positive = jnp.cumprod(acf > 0)
+    tau = 1.0 + 2.0 * jnp.sum(acf * positive)
+    return float(n / jnp.maximum(tau, 1.0))

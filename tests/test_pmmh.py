@@ -1,0 +1,124 @@
+"""PMMH: exact-target validation on a conjugate case, acceptance behavior,
+chains, diagnostics (BASELINE.json config 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composablestatespacemodels_tpu import (TimeSeries, linear,
+                                            simulate_regular)
+from composablestatespacemodels_tpu.inference import pmmh as pm
+from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                   brownian_params, leaf,
+                                                   param_node, parameters,
+                                                   perturb)
+
+
+@pytest.fixture(scope="module")
+def lg_setup():
+    model = linear(brownian_motion(1))
+    true_params = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = simulate_regular(model, true_params, jax.random.PRNGKey(0), 80,
+                           dt=0.5)
+    return model, true_params, sim.to_timeseries()
+
+
+def test_pmmh_runs_and_accepts(lg_setup, key):
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 100)
+    res = pm.pmmh(key, p0, pf_ll, perturb(0.01), 300)
+    rate = float(res.acceptance_rate())
+    assert 0.01 < rate < 0.95
+    assert res.lls.shape == (300,)
+    assert bool(jnp.isfinite(res.lls[-1]))
+    # first proposal always accepted (init ll = -1e30, PMMH.scala:121)
+    assert int(res.accepted[0]) == 1
+
+
+def test_pmmh_posterior_concentrates_near_truth(lg_setup, key):
+    """Posterior mean of the observation log-sd should be near the truth."""
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 200)
+    # start away from the truth
+    start = parameters(jnp.log(2.0), brownian_params(0.2, 0.25, 0.3))
+    res = pm.pmmh(key, start, pf_ll, perturb(0.02), 1500)
+    kept = res.thin(burn_in=500, thin=2)
+    scales = kept.params.value.scale  # stacked leaf: [iters]
+    post_mean = float(jnp.mean(scales))
+    post_sd = float(jnp.std(scales))
+    # truth log(0.5); generous MC bound
+    assert abs(post_mean - float(jnp.log(0.5))) < max(4 * post_sd, 0.5)
+
+
+def test_pmmh_chains_vmap(lg_setup, key):
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 100)
+    res = pm.pmmh_chains(key, p0, pf_ll, perturb(0.01), 200, 4)
+    assert res.lls.shape == (4, 200)
+    assert res.accepted.shape == (4, 200)
+    rates = np.asarray(res.acceptance_rate())
+    assert rates.shape == (4,)
+    assert (rates > 0).all()
+    # chains differ
+    assert float(jnp.std(res.lls[:, -1])) > 0
+
+
+def test_approx_pmmh_runs(lg_setup, key):
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 100)
+    res = pm.pmmh(key, p0, pf_ll, perturb(0.01), 100, approx=True)
+    assert bool(jnp.isfinite(res.lls[-1]))
+
+
+def test_prior_influences_acceptance(lg_setup, key):
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 100)
+
+    def tight_prior(params):
+        # extremely tight prior on the scale at an implausible value
+        return -1e4 * (params.value.scale - 5.0) ** 2
+
+    res_flat = pm.pmmh(key, p0, pf_ll, perturb(0.01), 200)
+    res_tight = pm.pmmh(key, p0, pf_ll, perturb(0.01), 200,
+                        prior=tight_prior)
+    # the tight prior at a far-away mode should reject nearly everything
+    assert int(res_tight.accepted[-1]) <= int(res_flat.accepted[-1])
+
+
+def test_pilot_run(lg_setup, key):
+    model, p0, data = lg_setup
+    out = pm.pilot_run(model, p0, data, key, particle_counts=(50, 200),
+                       n_reps=20)
+    assert len(out) == 2
+    (n1, m1, v1), (n2, m2, v2) = out
+    assert n1 == 50 and n2 == 200
+    # more particles -> lower ll variance
+    assert v2 < v1
+    assert abs(m1 - m2) < 3.0
+
+
+def test_gelman_rubin_converged_vs_not(key):
+    k1, k2 = jax.random.split(key)
+    same = jax.random.normal(k1, (4, 500))
+    rhat_ok = float(pm.gelman_rubin(same))
+    assert rhat_ok < 1.1
+    apart = same + jnp.arange(4.0)[:, None] * 5
+    assert float(pm.gelman_rubin(apart)) > 1.5
+
+
+def test_effective_chain_size(key):
+    iid = jax.random.normal(key, (1000,))
+    ess = pm.effective_chain_size(iid)
+    assert ess > 300
+    corr = jnp.cumsum(iid) / 10  # highly autocorrelated
+    assert pm.effective_chain_size(corr) < ess
+
+
+def test_thin_shapes(lg_setup, key):
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 50)
+    res = pm.pmmh(key, p0, pf_ll, perturb(0.01), 100)
+    kept = res.thin(burn_in=20, thin=4)
+    assert kept.lls.shape == (20,)
+    assert kept.params.value.scale.shape[0] == 20
