@@ -19,7 +19,10 @@ __version__ = "0.1.0"
 
 from . import inference, models, utils
 from .inference import (bootstrap_filter, forecast, forecast_times,
-                        kalman_filter, log_likelihood)
+                        interpolation_filter, kalman_filter, lgcp_filter,
+                        log_likelihood, make_pf_loglik, pilot_run,
+                        pmmh_chains)
+from .inference.pmmh import pmmh
 from .models import (bernoulli, beta, branch, brownian_motion, brownian_params,
                      compose, gen_brownian_motion, gen_brownian_params, leaf,
                      lgcp, linear, negative_binomial, ou_params, ou_process,
@@ -35,7 +38,8 @@ __all__ = [
     "brownian_params", "gen_brownian_params", "ou_params",
     "param_node", "parameters", "leaf", "branch",
     "bootstrap_filter", "log_likelihood", "kalman_filter", "forecast",
-    "forecast_times",
+    "forecast_times", "lgcp_filter", "interpolation_filter",
+    "pmmh", "pmmh_chains", "make_pf_loglik", "pilot_run",
     "TimeSeries", "SimulatedData", "simulate", "simulate_regular",
     "simulate_lgcp",
 ]

@@ -1,16 +1,28 @@
 from . import filter as filter_mod
-from . import kalman, resampling
+from . import interpolation, kalman, lgcp, pmmh, resampling
 from .filter import (FilterResult, Forecast, PfSummary, bootstrap_filter,
                      credible_interval_eta, credible_interval_state, forecast,
                      forecast_times, log_likelihood)
+from .interpolation import InterpolationResult, interpolation_filter
 from .kalman import KalmanResult, kalman_filter
+from .lgcp import LgcpResult, lgcp_filter
+from .pmmh import (PmmhResult, PmmhState, effective_chain_size, flat_prior,
+                   gelman_rubin, make_pf_loglik, pilot_run, pmmh_chains,
+                   symmetric_transition)
+from . import pmmh  # keep the module binding (the bare function is exported
+                    # at the top-level package as ``cssm.pmmh``)
 from .resampling import (effective_sample_size, exp_normalise,
                          identity_indices, multinomial_indices, resample,
                          residual_indices, stratified_indices,
                          systematic_indices)
 
 __all__ = [
-    "resampling", "kalman",
+    "resampling", "kalman", "pmmh", "lgcp", "interpolation",
+    "PmmhResult", "PmmhState", "make_pf_loglik", "pmmh_chains", "pilot_run",
+    "flat_prior", "symmetric_transition", "gelman_rubin",
+    "effective_chain_size",
+    "lgcp_filter", "LgcpResult",
+    "interpolation_filter", "InterpolationResult",
     "bootstrap_filter", "log_likelihood", "FilterResult", "PfSummary",
     "Forecast", "forecast", "forecast_times",
     "credible_interval_eta", "credible_interval_state",

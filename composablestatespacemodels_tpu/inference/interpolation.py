@@ -1,0 +1,137 @@
+"""Path-storing particle filter for interpolation / missing-data smoothing.
+
+The reference ``FilterInterpolate`` (ParticleFilter.scala:273-311) carries a
+``Vector[List[State]]`` of full ancestral paths and resamples entire paths at
+every observation -- memory-hostile copying (SURVEY.md section 7 step 8).
+
+TPU design: store the *pre-resample* states ``[T, N, d]`` and the per-step
+resampling indices ``[T, N]`` during one forward ``lax.scan``, then
+reconstruct the surviving ancestral paths with a backward index scan -- the
+standard genealogy trick.  Total memory O(T*N*d) with zero path copying
+inside the filter loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.model import Model
+from ..models.tree import Tree
+from ..utils.data import TimeSeries
+from . import resampling as rs
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class InterpolationResult:
+    """Smoothed (ancestral-path) particle clouds at every observation time.
+
+    ``paths[t, j]`` is the state at time ``ts[t]`` of the j-th surviving
+    particle lineage -- the reference's reversed path particles
+    (ParticleFilter.scala:303-310).
+    """
+
+    ll: jnp.ndarray
+    ess: jnp.ndarray           # [T]
+    paths: jnp.ndarray         # [T, N, d] smoothed clouds
+    ts: jnp.ndarray            # [T]
+    eta_mean: jnp.ndarray      # [T]
+    eta_lower: jnp.ndarray     # [T]
+    eta_upper: jnp.ndarray     # [T]
+    state_mean: jnp.ndarray    # [T, d]
+    state_lower: jnp.ndarray   # [T, d]
+    state_upper: jnp.ndarray   # [T, d]
+
+    def tree_flatten(self):
+        return ((self.ll, self.ess, self.paths, self.ts, self.eta_mean,
+                 self.eta_lower, self.eta_upper, self.state_mean,
+                 self.state_lower, self.state_upper), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@partial(jax.jit, static_argnames=("model", "n_particles", "resample",
+                                   "interval"))
+def _interp_impl(model: Model, params: Tree, data: TimeSeries,
+                 n_particles: int, key, t0, resample: str, interval: float):
+    from .filter import credible_interval_eta, credible_interval_state
+
+    resample_fn = rs.get_scheme(resample)
+    k_init, k_scan = jax.random.split(key)
+    particles = model.initial_state(params, k_init, (n_particles,))
+    dtype = particles.dtype
+    n = n_particles
+
+    def step(carry, inp):
+        x, t_prev, ll = carry
+        t, y, mask, k = inp
+        k_prop, k_res = jax.random.split(k)
+
+        x1 = model.step(params, k_prop, x, t - t_prev)
+
+        y_safe = jnp.where(mask, y, 0.0)
+        logw = model.log_density(params, model.f(x1, t), y_safe)
+        logw = jnp.where(mask, logw, 0.0)
+        maxw = jnp.max(logw)
+        w = jnp.exp(logw - maxw)
+        ll1 = ll + jnp.where(mask, maxw + jnp.log(jnp.mean(w)), 0.0)
+        wn = w / jnp.sum(w)
+        ess = jnp.where(mask,
+                        jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32),
+                        jnp.asarray(n, jnp.int32))
+
+        idx = jnp.where(mask, resample_fn(k_res, w), jnp.arange(n))
+        x2 = x1[idx]
+        # store pre-resample states + the genealogy indices
+        return (x2, t, ll1), (x1, idx, ll1, ess)
+
+    keys = jax.random.split(k_scan, data.ts.shape[0])
+    t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
+    init = (particles, t_start, jnp.asarray(0.0, dtype))
+    (_, _, ll), (xs_pre, anc, ll_hist, ess_hist) = jax.lax.scan(
+        step, init, (data.ts, data.ys, data.mask, keys))
+
+    # -- backward genealogy reconstruction -------------------------------
+    # surviving slot j at the end; its pre-resample index at step k is
+    # p_k = anc[k][j_k] and its parent slot is j_{k-1} = p_k.
+    def back(j, a):
+        p = a[j]
+        return p, p
+
+    _, ps = jax.lax.scan(back, jnp.arange(n), anc, reverse=True)
+    paths = jnp.take_along_axis(xs_pre, ps[:, :, None], axis=1)  # [T, N, d]
+
+    etas = jax.vmap(lambda x, t: model.link(model.f(x, t)))(paths, data.ts)
+    e_lo, e_hi = jax.vmap(
+        lambda e: credible_interval_eta(e, interval))(etas)
+    s_lo, s_hi = jax.vmap(
+        lambda x: credible_interval_state(x, interval))(paths)
+    return InterpolationResult(
+        ll, ess_hist, paths, data.ts,
+        jnp.mean(etas, axis=1), e_lo, e_hi,
+        jnp.mean(paths, axis=1), s_lo, s_hi)
+
+
+def interpolation_filter(model: Model, params: Tree, data: TimeSeries,
+                         n_particles: int, key, *,
+                         t0: Optional[float] = None,
+                         resample: str = "systematic",
+                         interval: float = 0.975) -> InterpolationResult:
+    """Smoothing-by-filtering: reconstruct the latent path through gaps of
+    missing observations (reference Interpolate example,
+    examples/Interpolate.scala:10-53).
+
+    Knock out observations with :meth:`TimeSeries.knock_out`; the returned
+    per-time clouds are *smoothed* (conditioned on all observations), so the
+    credible intervals bridge the gap rather than fanning out.
+    """
+    model.validate_params(params)
+    return _interp_impl(model, params, data, n_particles, key, t0, resample,
+                        interval)

@@ -99,7 +99,30 @@ def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
     return pf_ll
 
 
-def _mh_scan(key, init_params: Tree, pf_ll, proposal, prior,
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PmmhState:
+    """Resumable chain state (the reference ``MetropState``, PMMH.scala:26)."""
+
+    params: object
+    ll: jnp.ndarray
+    accepted: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.params, self.ll, self.accepted), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def initial_state(params: Tree) -> PmmhState:
+    """ll = -1e30 so the first proposal is always accepted (PMMH.scala:121)."""
+    return PmmhState(params, jnp.asarray(_INIT_LL, jnp.result_type(float)),
+                     jnp.asarray(0, jnp.int32))
+
+
+def _mh_scan(key, init: PmmhState, pf_ll, proposal, prior,
              log_transition, n_iters: int, approx: bool):
 
     def mh_step(carry, k):
@@ -126,17 +149,17 @@ def _mh_scan(key, init_params: Tree, pf_ll, proposal, prior,
         return (new_params, new_ll, new_acc), (new_params, new_ll, new_acc)
 
     keys = jax.random.split(key, n_iters)
-    init = (init_params, jnp.asarray(_INIT_LL, jnp.result_type(float)),
-            jnp.asarray(0, jnp.int32))
-    _, (ps, lls, accs) = jax.lax.scan(mh_step, init, keys)
-    return PmmhResult(ps, lls, accs)
+    carry, (ps, lls, accs) = jax.lax.scan(
+        mh_step, (init.params, init.ll, init.accepted), keys)
+    final = PmmhState(carry[0], carry[1], carry[2])
+    return PmmhResult(ps, lls, accs), final
 
 
 @partial(jax.jit, static_argnames=("pf_ll", "proposal", "prior",
                                    "log_transition", "n_iters", "approx"))
-def _pmmh_jit(key, init_params, pf_ll, proposal, prior, log_transition,
+def _pmmh_jit(key, init, pf_ll, proposal, prior, log_transition,
               n_iters, approx):
-    return _mh_scan(key, init_params, pf_ll, proposal, prior, log_transition,
+    return _mh_scan(key, init, pf_ll, proposal, prior, log_transition,
                     n_iters, approx)
 
 
@@ -144,7 +167,9 @@ def pmmh(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
          n_iters: int, *,
          prior: Callable = flat_prior,
          log_transition: Callable = symmetric_transition,
-         approx: bool = False) -> PmmhResult:
+         approx: bool = False,
+         init_state: Optional["PmmhState"] = None,
+         return_state: bool = False):
     """Run one PMMH chain.
 
     Args:
@@ -158,10 +183,16 @@ def pmmh(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
       approx: re-evaluate the current parameters' likelihood each iteration
         (the reference ApproxPMMH).
 
+      init_state: resume from a previous :class:`PmmhState` (checkpointed
+        chains); overrides ``init_params``.
+      return_state: also return the final :class:`PmmhState`.
+
     Reference call stack: DeterminePosterior, DetermineParameters.scala:55-85.
     """
-    return _pmmh_jit(key, init_params, pf_ll, proposal, prior,
-                     log_transition, n_iters, approx)
+    init = initial_state(init_params) if init_state is None else init_state
+    result, final = _pmmh_jit(key, init, pf_ll, proposal, prior,
+                              log_transition, n_iters, approx)
+    return (result, final) if return_state else result
 
 
 def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
@@ -177,8 +208,8 @@ def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
     @partial(jax.jit, static_argnames=())
     def run_all(keys, init_params):
         return jax.vmap(lambda k: _mh_scan(
-            k, init_params, pf_ll, proposal, prior, log_transition,
-            n_iters, approx))(keys)
+            k, initial_state(init_params), pf_ll, proposal, prior,
+            log_transition, n_iters, approx)[0])(keys)
 
     return run_all(keys, init_params)
 

@@ -1,0 +1,224 @@
+"""CSV / line-delimited-JSON persistence.
+
+Replaces the reference's spray-json codecs (jsonFormats.scala:16-144) and
+cats Show CSV instances (CsvFormat.scala:7-87):
+
+* time-series CSV with ``NA``/empty for missing observations
+  (DataFromFile, Data.scala:252-260);
+* line-delimited JSON for observations (DataFromJson, Data.scala:265-272);
+* parameter trees serialised **with explicit structure and type tags**
+  (the reference flattens trees and disambiguates SDE families by field
+  count, jsonFormats.scala:33-45 -- fragile; here every record round-trips
+  exactly);
+* PMMH posterior read/write with burn-in/thinning
+  (Streaming.pmmhToJson/readPosterior, Streaming.scala:42-58, 113-140) and
+  posterior-to-CSV with parameter-name headers (JsonToCSV,
+  DetermineParameters.scala:90-101).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.params import (BrownianParams, GenBrownianParams, OuParams,
+                             ParamNode, param_names)
+from ..models.tree import Branch, Empty, EmptyTree, Leaf, Tree
+from .data import SimulatedData, TimeSeries
+
+# ---------------------------------------------------------------------------
+# time series
+# ---------------------------------------------------------------------------
+
+
+def write_timeseries_csv(path: str, data: TimeSeries) -> None:
+    """Rows ``t,y`` with an empty observation field when missing."""
+    ts = np.asarray(data.ts)
+    ys = np.asarray(data.ys)
+    mask = np.asarray(data.mask)
+    with open(path, "w") as f:
+        for t, y, m in zip(ts, ys, mask):
+            f.write(f"{t},{y if m else ''}\n")
+
+
+def read_timeseries_csv(path: str) -> TimeSeries:
+    """First column time, second observation; ``NA``/empty => missing
+    (Data.scala:258)."""
+    ts, ys = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(",")
+            ts.append(float(parts[0]))
+            v = parts[1].strip() if len(parts) > 1 else ""
+            ys.append(None if v in ("", "NA") else float(v))
+    return TimeSeries.from_arrays(np.asarray(ts), ys)
+
+
+def write_timeseries_json(path: str, data: TimeSeries) -> None:
+    """Line-delimited ``{"t": ..., "observation": ...|null}``."""
+    ts = np.asarray(data.ts)
+    ys = np.asarray(data.ys)
+    mask = np.asarray(data.mask)
+    with open(path, "w") as f:
+        for t, y, m in zip(ts, ys, mask):
+            f.write(json.dumps(
+                {"t": float(t), "observation": float(y) if m else None})
+                + "\n")
+
+
+def read_timeseries_json(path: str) -> TimeSeries:
+    ts, ys = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            ts.append(rec["t"])
+            ys.append(rec.get("observation"))
+    return TimeSeries.from_arrays(np.asarray(ts), ys)
+
+
+def write_simulated_csv(path: str, sim: SimulatedData) -> None:
+    """Rows ``t,y,eta,gamma,x_0,...,x_{d-1}`` (the reference Show[Data]
+    layout, CsvFormat.scala:18-27)."""
+    ts, ys = np.asarray(sim.ts), np.asarray(sim.ys)
+    etas, gammas = np.asarray(sim.etas), np.asarray(sim.gammas)
+    xs = np.asarray(sim.xs)
+    with open(path, "w") as f:
+        for i in range(len(ts)):
+            row = [ts[i], ys[i], etas[i], gammas[i], *xs[i]]
+            f.write(",".join(str(float(v)) for v in row) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+_SDE_TAGS = {BrownianParams: "brownian", GenBrownianParams: "gen_brownian",
+             OuParams: "ou"}
+_SDE_TYPES = {v: k for k, v in _SDE_TAGS.items()}
+
+
+def _sde_to_json(p) -> dict:
+    d = {"type": _SDE_TAGS[type(p)]}
+    for field in p.__dataclass_fields__:
+        d[field] = np.asarray(getattr(p, field)).tolist()
+    return d
+
+
+def _sde_from_json(d: dict):
+    cls = _SDE_TYPES[d["type"]]
+    kwargs = {k: jnp.asarray(v, dtype=jnp.result_type(float))
+              for k, v in d.items() if k != "type"}
+    return cls(**kwargs)
+
+
+def params_to_json(p) -> dict:
+    """Parameter tree -> JSON-able dict (structure preserved, unlike the
+    reference's flatten-and-rebuild, jsonFormats.scala:60-104)."""
+    if isinstance(p, Leaf):
+        return {"leaf": params_to_json(p.value)}
+    if isinstance(p, Branch):
+        return {"left": params_to_json(p.left),
+                "right": params_to_json(p.right)}
+    if isinstance(p, EmptyTree):
+        return {"empty": True}
+    if isinstance(p, ParamNode):
+        return {"scale": None if p.scale is None else float(p.scale),
+                "sde": _sde_to_json(p.sde)}
+    raise TypeError(f"cannot serialise {type(p).__name__}")
+
+
+def params_from_json(d: dict):
+    if "leaf" in d:
+        return Leaf(params_from_json(d["leaf"]))
+    if "left" in d:
+        return Branch(params_from_json(d["left"]),
+                      params_from_json(d["right"]))
+    if d.get("empty"):
+        return Empty
+    scale = d["scale"]
+    return ParamNode(
+        None if scale is None else jnp.asarray(scale,
+                                               dtype=jnp.result_type(float)),
+        _sde_from_json(d["sde"]))
+
+
+def write_params_json(path: str, p: Tree) -> None:
+    with open(path, "w") as f:
+        json.dump(params_to_json(p), f)
+
+
+def read_params_json(path: str) -> Tree:
+    with open(path) as f:
+        return params_from_json(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# posteriors
+# ---------------------------------------------------------------------------
+
+
+def write_posterior_json(path: str, result, template: Tree) -> None:
+    """Line-delimited PMMH iterations ``{"ll":..,"accepted":..,"params":..}``
+    (reference pmmhToJson, Streaming.scala:42-58).  ``result`` is a
+    single-chain :class:`~..inference.pmmh.PmmhResult`; ``template`` the
+    parameter tree giving the structure."""
+    lls = np.asarray(result.lls)
+    accs = np.asarray(result.accepted)
+    n = lls.shape[0]
+    with open(path, "w") as f:
+        for i in range(n):
+            p_i = jax.tree_util.tree_map(lambda x: x[i], result.params)
+            f.write(json.dumps({
+                "ll": float(lls[i]),
+                "accepted": int(accs[i]),
+                "params": params_to_json(p_i),
+            }) + "\n")
+
+
+def read_posterior_json(path: str, burn_in: int = 0, thin: int = 1):
+    """Read back a posterior with burn-in and thinning
+    (Streaming.readPosterior, Streaming.scala:113-140).
+
+    Returns ``(stacked_params, lls, accepted)``.
+    """
+    recs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                recs.append(json.loads(line))
+    recs = recs[burn_in::thin]
+    if not recs:
+        raise ValueError("no posterior records after burn-in/thinning")
+    params = [params_from_json(r["params"]) for r in recs]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params)
+    lls = jnp.asarray([r["ll"] for r in recs])
+    accs = jnp.asarray([r["accepted"] for r in recs], dtype=jnp.int32)
+    return stacked, lls, accs
+
+
+def posterior_to_csv(json_path: str, csv_path: str, template: Tree) -> None:
+    """Posterior JSON -> CSV with parameter-name header (the reference
+    JsonToCSV app, DetermineParameters.scala:90-101)."""
+    from jax.flatten_util import ravel_pytree
+
+    stacked, lls, _ = read_posterior_json(json_path)
+    names = param_names(template)
+    n = lls.shape[0]
+    with open(csv_path, "w") as f:
+        f.write(",".join(names + ["ll"]) + "\n")
+        for i in range(n):
+            p_i = jax.tree_util.tree_map(lambda x: x[i], stacked)
+            flat, _ = ravel_pytree(p_i)
+            row = [str(float(v)) for v in np.asarray(flat)]
+            f.write(",".join(row + [str(float(lls[i]))]) + "\n")

@@ -1,0 +1,177 @@
+"""Streaming / online tooling: chunked filters, monitored + checkpointed PMMH.
+
+The reference expresses online filtering and MCMC experiment plumbing as Akka
+Streams stages (Streaming.scala:14-242).  TPU-native equivalents:
+
+* :class:`OnlineFilter` -- an unbounded stream becomes host-fed chunks, each
+  processed by one jitted ``lax.scan`` with the particle cloud carried
+  across chunks (the ``Flow.scan`` of ParticleFilter.scala:163-166, without
+  holding the whole stream);
+* :func:`pmmh_monitored` -- long chains run as a host loop of jitted chunks
+  with acceptance-rate monitoring every chunk (monitorStream,
+  Streaming.scala:72-94) and crash-safe checkpoint/resume
+  (Streaming.scala:200-241's serialisation, rebuilt on
+  :mod:`.checkpoint`).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.model import Model
+from ..models.tree import Tree
+from .checkpoint import checkpoint_exists, restore_checkpoint, save_checkpoint
+from .data import TimeSeries
+
+# NOTE: inference modules import utils.data, so inference imports here are
+# deferred into the functions to break the package-init cycle.
+
+
+def _flat_prior(params):
+    return jnp.asarray(0.0)
+
+
+def _symmetric_transition(frm, to):
+    return jnp.asarray(0.0)
+
+
+class OnlineFilter:
+    """Feed observation chunks as they arrive; filtering state persists.
+
+    Example::
+
+        f = OnlineFilter(model, params, n_particles=10_000,
+                         key=jax.random.PRNGKey(0), t0=0.0)
+        for chunk in stream:          # chunk: TimeSeries
+            summary = f.step(chunk)   # jitted scan over the chunk
+        f.ll                          # running log marginal likelihood
+    """
+
+    def __init__(self, model: Model, params: Tree, n_particles: int, key,
+                 t0: float, *, resample: str = "systematic",
+                 store: str = "summary", interval: float = 0.975):
+        model.validate_params(params)
+        self.model = model
+        self.params = params
+        self.n_particles = n_particles
+        self.resample = resample
+        self.store = store
+        self.interval = interval
+        from ..inference.filter import bootstrap_filter  # deferred
+        self._filter = bootstrap_filter
+        key, k_init = jax.random.split(key)
+        self._key = key
+        self.particles = model.initial_state(params, k_init, (n_particles,))
+        self.t = jnp.asarray(t0, self.particles.dtype)
+        self.ll = jnp.asarray(0.0, self.particles.dtype)
+        self.n_observed = 0
+
+    def step(self, chunk: TimeSeries):
+        """Filter one chunk; returns its :class:`FilterResult` (summaries are
+        per-chunk; ``self.ll`` accumulates across chunks)."""
+        self._key, k = jax.random.split(self._key)
+        res = self._filter(
+            self.model, self.params, chunk, self.n_particles, k,
+            resample=self.resample, t0=float(self.t),
+            initial_state=self.particles, store=self.store,
+            interval=self.interval)
+        self.particles = res.final_particles
+        self.t = chunk.ts[-1]
+        self.ll = self.ll + res.ll
+        self.n_observed += int(chunk.ts.shape[0])
+        return res
+
+
+def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
+                   proposal: Callable, n_iters: int, *,
+                   chunk_size: int = 1000,
+                   prior: Callable = None,
+                   log_transition: Callable = None,
+                   approx: bool = False,
+                   checkpoint_path: Optional[str] = None,
+                   log_every: bool = True,
+                   out=None) -> PmmhResult:
+    """PMMH as a host loop of jitted chunks with monitoring + checkpointing.
+
+    Prints the running acceptance rate after every chunk (the reference
+    prints every 100 iterations, Streaming.monitorStream,
+    Streaming.scala:72-94).  If ``checkpoint_path`` is given, chain state
+    (params, ll, accepted, key, completed chunks) is saved after each chunk
+    and the run resumes from it if present.
+    """
+    from ..inference.pmmh import (PmmhResult, flat_prior, initial_state,
+                                  pmmh, symmetric_transition)
+
+    prior = flat_prior if prior is None else prior
+    log_transition = (symmetric_transition if log_transition is None
+                      else log_transition)
+    out = sys.stderr if out is None else out
+    n_chunks = -(-n_iters // chunk_size)
+    state = initial_state(init_params)
+    start_chunk = 0
+
+    if checkpoint_path and checkpoint_exists(checkpoint_path):
+        template = {
+            "state": state,
+            "key": jax.random.key_data(key),
+            "chunk": jnp.asarray(0, jnp.int32),
+        }
+        saved = restore_checkpoint(checkpoint_path, template)
+        state = saved["state"]
+        key = jax.random.wrap_key_data(saved["key"])
+        start_chunk = int(saved["chunk"])
+        if log_every:
+            print(f"[pmmh] resumed from {checkpoint_path} at chunk "
+                  f"{start_chunk}/{n_chunks}", file=out)
+
+    pieces = []
+    for c in range(start_chunk, n_chunks):
+        size = min(chunk_size, n_iters - c * chunk_size)
+        k_chunk = jax.random.fold_in(key, c)
+        res, state = pmmh(k_chunk, init_params, pf_ll, proposal, size,
+                          prior=prior, log_transition=log_transition,
+                          approx=approx, init_state=state, return_state=True)
+        pieces.append(jax.device_get(res))
+        done = (c + 1 - start_chunk) * chunk_size
+        if log_every:
+            total_acc = int(state.accepted)
+            total_it = c * chunk_size + size
+            print(f"[pmmh] iter {min((c + 1) * chunk_size, n_iters)}"
+                  f"/{n_iters}  acceptance {total_acc / total_it:.3f}  "
+                  f"ll {float(state.ll):.2f}", file=out)
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, {
+                "state": state,
+                "key": jax.random.key_data(key),
+                "chunk": jnp.asarray(c + 1, jnp.int32),
+            })
+
+    cat = lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs], axis=0)
+    return PmmhResult(
+        jax.tree_util.tree_map(cat, *[p.params for p in pieces]),
+        cat(*[p.lls for p in pieces]),
+        cat(*[p.accepted for p in pieces]))
+
+
+def thin_stream(xs, step: int):
+    """Take every ``step``-th element (Streaming.thinStream,
+    Streaming.scala:100-105)."""
+    return jax.tree_util.tree_map(lambda a: a[::step], xs)
+
+
+def ascii_histogram(values, bins: int = 20, width: int = 50,
+                    out=None) -> None:
+    """ASCII histogram of samples (ParticleFilter.hist,
+    ParticleFilter.scala:439-447)."""
+    out = sys.stdout if out is None else out
+    values = np.asarray(values)
+    counts, edges = np.histogram(values, bins=bins)
+    peak = max(int(counts.max()), 1)
+    for c, lo in zip(counts, edges[:-1]):
+        bar = "#" * int(width * c / peak)
+        print(f"{lo:10.3f} | {bar} {c}", file=out)

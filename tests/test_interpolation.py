@@ -1,0 +1,82 @@
+"""Interpolation (smoothing-by-filtering) tests mirroring the reference
+Interpolate example (examples/Interpolate.scala:10-53)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composablestatespacemodels_tpu import linear, simulate_regular
+from composablestatespacemodels_tpu.inference.interpolation import (
+    interpolation_filter)
+from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                   brownian_params, ou_params,
+                                                   ou_process, parameters)
+
+
+@pytest.fixture(scope="module")
+def gap_case():
+    model = linear(ou_process(1))
+    params = parameters(jnp.log(0.3), ou_params(1.0, 0.5, 0.3, 1.0, 0.4))
+    sim = simulate_regular(model, params, jax.random.PRNGKey(0), 100, dt=1.0)
+    full = sim.to_timeseries()
+    gappy = full.knock_out(40.0, 60.0)
+    return model, params, sim, full, gappy
+
+
+def test_interpolation_shapes(gap_case, key):
+    model, params, sim, full, gappy = gap_case
+    res = interpolation_filter(model, params, gappy, 500, key)
+    assert res.paths.shape == (100, 500, 1)
+    assert res.state_mean.shape == (100, 1)
+    assert np.isfinite(float(res.ll))
+
+
+def test_interpolation_bridges_gap(gap_case, key):
+    """Smoothed intervals through the gap should bracket the true latent
+    state and be narrower than filtered (fan-out) intervals."""
+    from composablestatespacemodels_tpu import bootstrap_filter
+
+    model, params, sim, full, gappy = gap_case
+    res = interpolation_filter(model, params, gappy, 2000, key)
+
+    gap = ~np.asarray(gappy.mask)
+    truth = np.asarray(sim.xs[:, 0])
+    lo = np.asarray(res.state_lower[:, 0])
+    hi = np.asarray(res.state_upper[:, 0])
+    inside = ((lo <= truth) & (truth <= hi))[gap]
+    assert inside.mean() > 0.8
+
+    # smoothed gap intervals narrower than filtered ones on average
+    filt = bootstrap_filter(model, params, gappy, 2000, key, store="summary")
+    w_smooth = (hi - lo)[gap].mean()
+    w_filt = (np.asarray(filt.summary.state_upper[:, 0])
+              - np.asarray(filt.summary.state_lower[:, 0]))[gap].mean()
+    assert w_smooth < w_filt * 1.1
+
+
+def test_interpolation_ll_matches_filter(gap_case, key):
+    from composablestatespacemodels_tpu import log_likelihood
+
+    model, params, sim, full, gappy = gap_case
+    lls_i = [float(interpolation_filter(model, params, gappy, 1000,
+                                        jax.random.fold_in(key, i)).ll)
+             for i in range(3)]
+    lls_f = [float(log_likelihood(model, params, gappy, 1000,
+                                  jax.random.fold_in(key, 10 + i)))
+             for i in range(3)]
+    assert abs(np.mean(lls_i) - np.mean(lls_f)) < 2.0
+
+
+def test_paths_are_genealogically_consistent(key):
+    """With identity dynamics-free check: each path's last state equals a
+    final-cloud member."""
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.2))
+    sim = simulate_regular(model, params, key, 30)
+    res = interpolation_filter(model, params, sim.to_timeseries(), 200, key)
+    # smoothed cloud collapses toward the past: ancestral diversity at t=0
+    # is no larger than at t=T
+    uniq_start = len(np.unique(np.asarray(res.paths[0, :, 0])))
+    uniq_end = len(np.unique(np.asarray(res.paths[-1, :, 0])))
+    assert uniq_start <= uniq_end

@@ -1,0 +1,185 @@
+"""IO round-trips (reference JsonTest.scala:16-64) + checkpoint/resume +
+streaming utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composablestatespacemodels_tpu import (TimeSeries, linear,
+                                            simulate_regular)
+from composablestatespacemodels_tpu.inference import pmmh as pm
+from composablestatespacemodels_tpu.models import (branch, brownian_params,
+                                                   flatten_params,
+                                                   gen_brownian_params, leaf,
+                                                   ou_params, param_node,
+                                                   parameters, perturb)
+from composablestatespacemodels_tpu.utils import checkpoint as ckpt
+from composablestatespacemodels_tpu.utils import io as cio
+from composablestatespacemodels_tpu.utils import streaming as strm
+from composablestatespacemodels_tpu.models import brownian_motion
+
+
+def make_tree():
+    return branch(
+        leaf(param_node(jnp.log(2.0), ou_params(0.1, 1.0, 0.3, 0.5, 0.4))),
+        leaf(param_node(None, brownian_params([0.0, 1.0], [1.0, 2.0], 0.5))))
+
+
+def test_timeseries_csv_roundtrip(tmp_path):
+    data = TimeSeries.from_arrays([0.0, 1.0, 2.5], [1.0, None, 3.0])
+    p = str(tmp_path / "d.csv")
+    cio.write_timeseries_csv(p, data)
+    back = cio.read_timeseries_csv(p)
+    np.testing.assert_allclose(back.ts, data.ts)
+    np.testing.assert_array_equal(back.mask, data.mask)
+    np.testing.assert_allclose(back.ys, data.ys)
+
+
+def test_timeseries_csv_na_parsing(tmp_path):
+    p = str(tmp_path / "na.csv")
+    with open(p, "w") as f:
+        f.write("0.0,1.5\n1.0,NA\n2.0,\n3.0,4.0\n")
+    back = cio.read_timeseries_csv(p)
+    np.testing.assert_array_equal(back.mask, [True, False, False, True])
+
+
+def test_timeseries_json_roundtrip(tmp_path):
+    data = TimeSeries.from_arrays([0.0, 1.0], [2.0, None])
+    p = str(tmp_path / "d.json")
+    cio.write_timeseries_json(p, data)
+    back = cio.read_timeseries_json(p)
+    np.testing.assert_allclose(back.ts, data.ts)
+    np.testing.assert_array_equal(back.mask, data.mask)
+
+
+def test_params_json_roundtrip(tmp_path):
+    tree = make_tree()
+    p = str(tmp_path / "p.json")
+    cio.write_params_json(p, tree)
+    back = cio.read_params_json(p)
+    np.testing.assert_allclose(flatten_params(back), flatten_params(tree),
+                               rtol=1e-6)
+    assert (jax.tree_util.tree_structure(back)
+            == jax.tree_util.tree_structure(tree))
+
+
+def test_params_json_all_families(tmp_path):
+    for sde_p in [brownian_params(0, 1, 1),
+                  gen_brownian_params(0, 1, 0.5, 1),
+                  ou_params(0, 1, 0.3, 0, 1)]:
+        tree = parameters(0.5, sde_p)
+        p = str(tmp_path / "p.json")
+        cio.write_params_json(p, tree)
+        back = cio.read_params_json(p)
+        np.testing.assert_allclose(flatten_params(back),
+                                   flatten_params(tree), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def chain(tmp_path_factory):
+    model = linear(brownian_motion(1))
+    p0 = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = simulate_regular(model, p0, jax.random.PRNGKey(0), 40, dt=0.5)
+    pf_ll = pm.make_pf_loglik(model, sim.to_timeseries(), 64)
+    res = pm.pmmh(jax.random.PRNGKey(1), p0, pf_ll, perturb(0.01), 50)
+    return p0, pf_ll, res
+
+
+def test_posterior_json_roundtrip(tmp_path, chain):
+    p0, pf_ll, res = chain
+    path = str(tmp_path / "post.json")
+    cio.write_posterior_json(path, res, p0)
+    stacked, lls, accs = cio.read_posterior_json(path, burn_in=10, thin=2)
+    assert lls.shape == (20,)
+    np.testing.assert_allclose(lls, res.lls[10::2], rtol=1e-6)
+    np.testing.assert_allclose(stacked.value.scale,
+                               res.params.value.scale[10::2], rtol=1e-6)
+
+
+def test_posterior_to_csv(tmp_path, chain):
+    p0, pf_ll, res = chain
+    jpath = str(tmp_path / "post.json")
+    cpath = str(tmp_path / "post.csv")
+    cio.write_posterior_json(jpath, res, p0)
+    cio.posterior_to_csv(jpath, cpath, p0)
+    lines = open(cpath).read().strip().split("\n")
+    header = lines[0].split(",")
+    assert header[0] == "scale" and header[-1] == "ll"
+    assert len(lines) == 51
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = make_tree()
+    state = {"params": tree, "ll": jnp.asarray(-12.5),
+             "accepted": jnp.asarray(7, jnp.int32),
+             "key": jax.random.key_data(jax.random.PRNGKey(3))}
+    path = str(tmp_path / "chain.npz")
+    ckpt.save_checkpoint(path, state)
+    back = ckpt.restore_checkpoint(path, state)
+    np.testing.assert_allclose(flatten_params(back["params"]),
+                               flatten_params(tree))
+    assert float(back["ll"]) == -12.5
+    assert int(back["accepted"]) == 7
+    k1 = jax.random.wrap_key_data(back["key"])
+    np.testing.assert_array_equal(jax.random.key_data(k1),
+                                  jax.random.key_data(jax.random.PRNGKey(3)))
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    path = str(tmp_path / "c.npz")
+    ckpt.save_checkpoint(path, {"x": jnp.ones((3,))})
+    with pytest.raises(ValueError):
+        ckpt.restore_checkpoint(path, {"x": jnp.ones((4,))})
+
+
+def test_online_filter_matches_batch(key):
+    from composablestatespacemodels_tpu import log_likelihood
+
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = simulate_regular(model, params, key, 60, dt=0.5)
+    data = sim.to_timeseries()
+
+    of = strm.OnlineFilter(model, params, 3000, key, t0=float(data.ts[0]))
+    for lo in range(0, 60, 20):
+        of.step(TimeSeries(data.ts[lo:lo + 20], data.ys[lo:lo + 20],
+                           data.mask[lo:lo + 20]))
+    assert of.n_observed == 60
+    batch_lls = [float(log_likelihood(model, params, data, 3000,
+                                      jax.random.fold_in(key, i)))
+                 for i in range(4)]
+    assert abs(float(of.ll) - np.mean(batch_lls)) < 3.0
+
+
+def test_pmmh_monitored_checkpoint_resume(tmp_path, capsys, key):
+    model = linear(brownian_motion(1))
+    p0 = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = simulate_regular(model, p0, key, 30, dt=0.5)
+    pf_ll = pm.make_pf_loglik(model, sim.to_timeseries(), 64)
+    path = str(tmp_path / "chain.npz")
+
+    res1 = strm.pmmh_monitored(key, p0, pf_ll, perturb(0.01), 60,
+                               chunk_size=20, checkpoint_path=path,
+                               log_every=False)
+    assert res1.lls.shape == (60,)
+
+    # a fresh call resumes from the checkpoint: chunks already done are
+    # skipped, so only 0 new iterations run and the result is empty-resume
+    res2 = strm.pmmh_monitored(key, p0, pf_ll, perturb(0.01), 80,
+                               chunk_size=20, checkpoint_path=path,
+                               log_every=False)
+    assert res2.lls.shape == (20,)  # only the remaining 4th chunk
+
+
+def test_thin_stream():
+    xs = {"a": jnp.arange(10), "b": jnp.arange(20).reshape(10, 2)}
+    out = strm.thin_stream(xs, 2)
+    assert out["a"].shape == (5,)
+    assert out["b"].shape == (5, 2)
+
+
+def test_ascii_histogram(capsys, key):
+    strm.ascii_histogram(jax.random.normal(key, (1000,)), bins=5)
+    outp = capsys.readouterr().out
+    assert outp.count("|") == 5
