@@ -1,0 +1,42 @@
+"""Particle filtering with per-step credible intervals
+(reference examples/Filtering.scala:16-33).
+
+  python examples/simulate.py model --out data
+  python examples/filtering.py data_sims.json --n-particles 1000
+"""
+
+import argparse
+import sys
+
+import jax
+
+sys.path.insert(0, ".")
+import composablestatespacemodels_tpu as cssm
+from composablestatespacemodels_tpu.utils import io as cio
+from examples.common import add_common_args, config_from_args, test_model
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("data", help="line-delimited JSON observations")
+    add_common_args(ap)
+    args = ap.parse_args()
+    cfg = config_from_args(args)
+
+    model, params = test_model()
+    data = cio.read_timeseries_json(args.data)
+    res = cssm.bootstrap_filter(model, params, data, cfg.n_particles,
+                                jax.random.PRNGKey(cfg.seed),
+                                resample=cfg.resample, store="summary")
+    s = res.summary
+    path = f"{cfg.out}_filtered.csv"
+    with open(path, "w") as f:
+        for i in range(len(data)):
+            row = [s.ts[i], s.eta_mean[i], s.eta_lower[i], s.eta_upper[i],
+                   *s.state_mean[i], res.ess[i]]
+            f.write(",".join(str(float(v)) for v in row) + "\n")
+    print(f"ll = {float(res.ll):.3f}; wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Pallas merge-gather resampling kernel vs the XLA reference path.
+
+Runs in Pallas interpreter mode on CPU (the TPU compile path is exercised by
+bench.py / the driver on real hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composablestatespacemodels_tpu.inference.resampling import (
+    _ancestors_from_counts, systematic_indices)
+from composablestatespacemodels_tpu.ops.resample_kernel import (
+    sorted_gather_resample, stratified_counts, systematic_counts,
+    systematic_resample_pallas)
+
+
+def _ref(x, counts):
+    return x[_ancestors_from_counts(counts, x.shape[0])]
+
+
+@pytest.mark.parametrize("n,block", [(512, 128), (1024, 256), (4096, 256)])
+def test_matches_xla_random_weights(key, n, block):
+    w = jax.random.uniform(key, (n,)) + 0.01
+    counts = systematic_counts(key, w)
+    x = jax.random.normal(key, (n, 8))
+    got = sorted_gather_resample(x, counts, block=block, interpret=True)
+    np.testing.assert_array_equal(got, _ref(x, counts))
+
+
+def test_matches_xla_degenerate(key):
+    n = 1024
+    x = jax.random.normal(key, (n, 8))
+    for w in [jnp.zeros((n,)).at[700].set(1.0),
+              jnp.zeros((n,)).at[1].set(0.5).at[1000].set(0.5),
+              jnp.ones((n,)),
+              jnp.zeros((n,)).at[0].set(1.0),
+              jnp.zeros((n,)).at[n - 1].set(1.0)]:
+        counts = systematic_counts(key, w)
+        got = sorted_gather_resample(x, counts, block=256, interpret=True)
+        np.testing.assert_array_equal(got, _ref(x, counts))
+
+
+def test_stratified_counts_match_indices(key):
+    n = 2048
+    w = jax.random.uniform(key, (n,)) + 0.01
+    counts = stratified_counts(key, w)
+    x = jax.random.normal(key, (n, 4))
+    got = sorted_gather_resample(x, counts, block=256, interpret=True)
+    np.testing.assert_array_equal(got, _ref(x, counts))
+
+
+def test_full_step_matches_indices_path(key):
+    n = 1024
+    w = jax.random.uniform(key, (n,)) + 0.01
+    x = jax.random.normal(key, (n, 8))
+    got = systematic_resample_pallas(key, x, w, block=256, interpret=True)
+    want = x[systematic_indices(key, w)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_odd_dims(key):
+    # d not a power of two / not lane aligned
+    n = 512
+    w = jax.random.uniform(key, (n,)) + 0.01
+    counts = systematic_counts(key, w)
+    for d in (1, 3, 7, 9):
+        x = jax.random.normal(key, (n, d))
+        got = sorted_gather_resample(x, counts, block=128, interpret=True)
+        np.testing.assert_array_equal(got, _ref(x, counts))
+
+
+def test_indivisible_block_raises(key):
+    w = jax.random.uniform(key, (1000,))
+    counts = systematic_counts(key, w)
+    x = jax.random.normal(key, (1000, 4))
+    with pytest.raises(ValueError):
+        sorted_gather_resample(x, counts, block=256, interpret=True)
