@@ -52,8 +52,14 @@ def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
     print(f"simulated T={n_steps} composed seasonal-Poisson series "
           f"(d={model.dim}) on {jax.devices()[0].platform}", file=sys.stderr)
 
+    resample = ("systematic-pallas"
+                if jax.default_backend() == "tpu" and n_particles % 1024 == 0
+                else "systematic")
+    print(f"resampling scheme: {resample}", file=sys.stderr)
+
     def ll(k):
-        return cssm.log_likelihood(model, params, data, n_particles, k)
+        return cssm.log_likelihood(model, params, data, n_particles, k,
+                                   resample=resample)
 
     # compile + warm up (also flushes any async dispatch weirdness in the
     # remote-TPU tunnel, whose block_until_ready can return early once)
@@ -86,7 +92,9 @@ def main():
     if args.smoke:
         n, t = 10_000, 100
     else:
-        n, t = 1_000_000, 1000
+        # 2^20 (~1.05M) particles: the Pallas resampling kernel wants
+        # N divisible by its 1024-wide tile
+        n, t = 1 << 20, 1000
     n = args.particles or n
     t = args.steps or t
 

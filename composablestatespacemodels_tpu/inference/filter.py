@@ -152,7 +152,8 @@ def _make_save_fn(model: Model, store, interval: float):
 def _filter_impl(model: Model, params: Tree, data: TimeSeries,
                  n_particles: int, key, t0, x_init,
                  resample: str, store, ess_threshold, interval: float):
-    resample_fn = rs.get_scheme(resample)
+    resample_fn = (None if resample == "systematic-pallas"
+                   else rs.get_scheme(resample))
     save_fn = _make_save_fn(model, store, interval)
 
     k_init, k_scan = jax.random.split(key)
@@ -203,10 +204,20 @@ def _filter_impl(model: Model, params: Tree, data: TimeSeries,
         else:
             do_resample = mask & (ess1 < ess_threshold * n)
 
-        def yes(args):
-            x, w = args
-            idx = resample_fn(k_res, w)
-            return x[idx], jnp.full((n,), 1.0 / n, dtype=dtype)
+        if resample == "systematic-pallas":
+            # fused merge-gather kernel (ops.resample_kernel): weights ->
+            # counts (closed form) -> streaming sorted gather on the MXU
+            from ..ops.resample_kernel import systematic_resample_pallas
+
+            def yes(args):
+                x, w = args
+                return (systematic_resample_pallas(k_res, x, w),
+                        jnp.full((n,), 1.0 / n, dtype=dtype))
+        else:
+            def yes(args):
+                x, w = args
+                idx = resample_fn(k_res, w)
+                return x[idx], jnp.full((n,), 1.0 / n, dtype=dtype)
 
         def no(args):
             return args

@@ -14,10 +14,12 @@ Kernel structure (a two-pass merge):
   count entering that range (n_out-sized ``searchsorted`` -- tiny);
 * the Pallas grid walks output blocks; each step runs a dynamic-bound
   ``fori_loop`` over exactly the input blocks it needs, DMA-ing each block
-  of counts + particle columns into VMEM once, selecting the slots whose
-  ancestors live in that block with a [B, B] compare + row-count (VPU), and
-  accumulating the row duplication as a one-hot [d, B] x [B, B] matmul
-  (MXU) into the output block;
+  of counts + particle columns into VMEM once;
+* within a block, the ancestor of output slot q is the *count of window
+  entries <= q* -- a lane-oriented compare + sublane reduction (VPU);
+  the duplication itself is 128-lane ``tpu.dynamic_gather`` ops
+  (``take_along_axis`` within one lane vreg) selected across source groups
+  -- pure VPU data movement, no scatter, no MXU padding waste, bit-exact;
 * total input traffic is <= one read of x + counts plus one block per
   output-block boundary (amortised 2x), all sequential; weight degeneracy
   (one particle owning every slot) just re-reads a single input block.
@@ -25,7 +27,9 @@ Kernel structure (a two-pass merge):
 Particles are processed in **transposed [d, N] layout**: the particle axis
 rides the 128-wide lane dimension, so block windows are lane-aligned DMA
 slices (a [N, d] layout with d < 128 cannot be block-sliced under TPU
-tiling).  The wrapper transposes at the boundary.
+tiling).  The wrapper transposes at the boundary.  Counts arrive
+column-packed ([128, n_chunks] per block) so both the compare and the DMA
+stay tile-aligned.
 
 Equivalent by construction to
 ``x[inference.resampling._ancestors_from_counts(counts, N)]``.
@@ -40,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LANE = 128
+
 
 def _merge_kernel(first_ref, last_ref, base_ref,
                   c_hbm, xt_hbm, out_ref,
@@ -47,20 +53,20 @@ def _merge_kernel(first_ref, last_ref, base_ref,
     """Grid: (n_out_blocks,).
 
     Scalar-prefetch: first/last input-block index and entering count per
-    output block.  c_hbm [n_in, 1, B] int32 and xt_hbm [d, N] stay in
-    HBM/ANY; out_ref is the g-th [d, B] output block in VMEM.
+    output block.  c_hbm [n_in, 128, C] int32 (column m of a block holds
+    entries [128*m, 128*(m+1)), lane-padded to C >= 128) and xt_hbm [d, N]
+    stay in HBM/ANY; out_ref is the g-th [d, B] output block in VMEM.
 
-    Scratch: cblk [1, B] int32, xblk [d, B], two DMA semaphores.
+    Scratch: cblk [128, C] int32, xblk [d, B], two DMA semaphores.
     """
     g = pl.program_id(0)
-    block = out_ref.shape[1]
+    d, block = out_ref.shape
+    n_chunks = block // _LANE
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     q0 = g * block
-    qs = q0 + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)  # [B, 1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-    dtype = out_ref.dtype
+    q_row = q0 + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)  # [1, B]
 
     def body(j, prev_cmax):
         cp = pltpu.make_async_copy(c_hbm.at[j], cblk, sem_c)
@@ -71,24 +77,42 @@ def _merge_kernel(first_ref, last_ref, base_ref,
         cp.wait()
         xp.wait()
 
-        cmax = cblk[0, block - 1]
-        # slots whose ancestor lies in input block j
-        active = (qs >= prev_cmax) & (qs < cmax)                  # [B, 1]
-        # block-local ancestor = #entries <= q
-        anc = jnp.sum((cblk[...] <= qs).astype(jnp.int32), axis=1,
-                      keepdims=True)                              # [B, 1]
-        onehot = ((cols == anc) & active).astype(dtype)           # [B, B]
-        # y_t[d, out] += x_t[d, in] . onehot[out, in]^T
-        out_ref[...] += jax.lax.dot_general(
-            xblk[...], onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype)
+        cmax = cblk[_LANE - 1, n_chunks - 1]
+
+        # block-local ancestor = #entries <= q: lane-oriented count.
+        # chunk m's 128 entries sit in column m -> [128, 1] against [1, B].
+        anc = jnp.zeros((1, block), jnp.int32)
+        for m in range(n_chunks):
+            anc = anc + jnp.sum(
+                (cblk[:, m:m + 1] <= q_row).astype(jnp.int32), axis=0,
+                keepdims=True)                                    # [1, B]
+
+        active = (q_row >= prev_cmax) & (q_row < cmax)            # [1, B]
+        hi = anc // _LANE                                         # [1, B]
+        lo = jnp.broadcast_to(anc % _LANE, (d, block))            # [d, B]
+        hi_b = jnp.broadcast_to(hi, (d, block))
+        act_b = jnp.broadcast_to(active, (d, block))
+
+        # duplication: per 128-lane output group, gather within each source
+        # group (single-vreg tpu.dynamic_gather) and select by hi
+        for k in range(n_chunks):
+            sl = slice(k * _LANE, (k + 1) * _LANE)
+            idx_k = lo[:, sl]
+            hi_k = hi_b[:, sl]
+            acc = jnp.zeros((d, _LANE), out_ref.dtype)
+            for gsrc in range(n_chunks):
+                src = xblk[:, gsrc * _LANE:(gsrc + 1) * _LANE]    # [d, 128]
+                part = jnp.take_along_axis(src, idx_k, axis=1)
+                acc = jnp.where(hi_k == gsrc, part, acc)
+            out_ref[:, sl] = jnp.where(act_b[:, sl], acc, out_ref[:, sl])
+
         return cmax
 
     jax.lax.fori_loop(first_ref[g], last_ref[g] + 1, body, base_ref[g])
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
-def sorted_gather_resample_t(x_t, counts, block: int = 256,
+def sorted_gather_resample_t(x_t, counts, block: int = 1024,
                              interpret: bool = False):
     """Transposed-layout core: ``y_t[:, j] = x_t[:, anc_j]``.
 
@@ -96,13 +120,16 @@ def sorted_gather_resample_t(x_t, counts, block: int = 256,
       x_t: [d, N] particle columns (N divisible by ``block``).
       counts: [N] nondecreasing int32 cumulative position counts with
         ``counts[-1] == N``.
-      block: tile size (multiple of 128).
+      block: tile size (multiple of 128; block/128 <= 128).
       interpret: run in Pallas interpreter mode (CPU testing).
     """
     d, n = x_t.shape
-    if n % block:
-        raise ValueError(f"N={n} must be divisible by block={block}")
+    if n % block or block % _LANE or block // _LANE > _LANE:
+        raise ValueError(
+            f"N={n} must be divisible by block={block}, block a multiple "
+            f"of {_LANE} with at most {_LANE} chunks")
     n_blocks = n // block
+    n_chunks = block // _LANE
     counts = counts.astype(jnp.int32)
 
     # XLA prepass: input-block range + entering count per output block
@@ -114,7 +141,12 @@ def sorted_gather_resample_t(x_t, counts, block: int = 256,
     base = jnp.where(first > 0, counts[jnp.maximum(first * block - 1, 0)],
                      0).astype(jnp.int32)
 
-    c3 = counts.reshape(n_blocks, 1, block)
+    # column-packed counts: block j, column m = entries [128m, 128(m+1));
+    # lanes padded to >= 128 so the per-block DMA tile stays aligned
+    c_cols = counts.reshape(n_blocks, n_chunks, _LANE).transpose(0, 2, 1)
+    pad = _LANE - n_chunks
+    if pad > 0:
+        c_cols = jnp.pad(c_cols, ((0, 0), (0, 0), (0, pad)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -125,7 +157,7 @@ def sorted_gather_resample_t(x_t, counts, block: int = 256,
         ],
         out_specs=pl.BlockSpec((d, block), lambda g, *_: (0, g)),
         scratch_shapes=[
-            pltpu.VMEM((1, block), jnp.int32),
+            pltpu.VMEM((_LANE, max(n_chunks, _LANE)), jnp.int32),
             pltpu.VMEM((d, block), x_t.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -137,19 +169,26 @@ def sorted_gather_resample_t(x_t, counts, block: int = 256,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, c3, x_t)
+    )(first, last, base, c_cols, x_t)
 
 
-def sorted_gather_resample(x, counts, block: int = 256,
+def sorted_gather_resample(x, counts, block: int = 1024,
                            interpret: bool = False):
     """``y[j] = x[first i with counts[i] > j]`` for nondecreasing ``counts``.
 
     [N, d] boundary wrapper around :func:`sorted_gather_resample_t`.
-    Returns [N, d] resampled rows, identical to
-    ``x[_ancestors_from_counts(counts, N)]``.
+    The state dimension is padded up to a sublane multiple (8) -- DMA
+    slices require 8-aligned sublane extents.  Returns [N, d] resampled
+    rows, identical to ``x[_ancestors_from_counts(counts, N)]``.
     """
-    return sorted_gather_resample_t(x.T, counts, block=block,
-                                    interpret=interpret).T
+    d = x.shape[1]
+    d_pad = (-d) % 8
+    x_t = x.T
+    if d_pad:
+        x_t = jnp.pad(x_t, ((0, d_pad), (0, 0)))
+    y_t = sorted_gather_resample_t(x_t, counts, block=block,
+                                   interpret=interpret)
+    return y_t[:d].T
 
 
 def systematic_counts(key, weights):
@@ -176,7 +215,7 @@ def stratified_counts(key, weights):
     return counts.at[-1].set(n)
 
 
-def systematic_resample_pallas(key, x, weights, block: int = 256,
+def systematic_resample_pallas(key, x, weights, block: int = 1024,
                                interpret: bool = False):
     """Full systematic resampling step with the Pallas merge gather.
 

@@ -20,7 +20,7 @@ def _ref(x, counts):
     return x[_ancestors_from_counts(counts, x.shape[0])]
 
 
-@pytest.mark.parametrize("n,block", [(512, 128), (1024, 256), (4096, 256)])
+@pytest.mark.parametrize("n,block", [(1024, 1024), (2048, 1024), (4096, 2048)])
 def test_matches_xla_random_weights(key, n, block):
     w = jax.random.uniform(key, (n,)) + 0.01
     counts = systematic_counts(key, w)
@@ -30,15 +30,15 @@ def test_matches_xla_random_weights(key, n, block):
 
 
 def test_matches_xla_degenerate(key):
-    n = 1024
+    n = 2048
     x = jax.random.normal(key, (n, 8))
     for w in [jnp.zeros((n,)).at[700].set(1.0),
-              jnp.zeros((n,)).at[1].set(0.5).at[1000].set(0.5),
+              jnp.zeros((n,)).at[1].set(0.5).at[2000].set(0.5),
               jnp.ones((n,)),
               jnp.zeros((n,)).at[0].set(1.0),
               jnp.zeros((n,)).at[n - 1].set(1.0)]:
         counts = systematic_counts(key, w)
-        got = sorted_gather_resample(x, counts, block=256, interpret=True)
+        got = sorted_gather_resample(x, counts, block=1024, interpret=True)
         np.testing.assert_array_equal(got, _ref(x, counts))
 
 
@@ -47,7 +47,7 @@ def test_stratified_counts_match_indices(key):
     w = jax.random.uniform(key, (n,)) + 0.01
     counts = stratified_counts(key, w)
     x = jax.random.normal(key, (n, 4))
-    got = sorted_gather_resample(x, counts, block=256, interpret=True)
+    got = sorted_gather_resample(x, counts, block=1024, interpret=True)
     np.testing.assert_array_equal(got, _ref(x, counts))
 
 
@@ -55,19 +55,19 @@ def test_full_step_matches_indices_path(key):
     n = 1024
     w = jax.random.uniform(key, (n,)) + 0.01
     x = jax.random.normal(key, (n, 8))
-    got = systematic_resample_pallas(key, x, w, block=256, interpret=True)
+    got = systematic_resample_pallas(key, x, w, block=1024, interpret=True)
     want = x[systematic_indices(key, w)]
     np.testing.assert_array_equal(got, want)
 
 
 def test_odd_dims(key):
     # d not a power of two / not lane aligned
-    n = 512
+    n = 1024
     w = jax.random.uniform(key, (n,)) + 0.01
     counts = systematic_counts(key, w)
     for d in (1, 3, 7, 9):
         x = jax.random.normal(key, (n, d))
-        got = sorted_gather_resample(x, counts, block=128, interpret=True)
+        got = sorted_gather_resample(x, counts, block=1024, interpret=True)
         np.testing.assert_array_equal(got, _ref(x, counts))
 
 
@@ -76,4 +76,37 @@ def test_indivisible_block_raises(key):
     counts = systematic_counts(key, w)
     x = jax.random.normal(key, (1000, 4))
     with pytest.raises(ValueError):
-        sorted_gather_resample(x, counts, block=256, interpret=True)
+        sorted_gather_resample(x, counts, block=1024, interpret=True)
+    # smaller lane-multiple blocks are fine (counts columns pad to 128)
+    w = jax.random.uniform(key, (2048,))
+    counts = systematic_counts(key, w)
+    x = jax.random.normal(key, (2048, 4))
+    got = sorted_gather_resample(x, counts, block=512, interpret=True)
+    np.testing.assert_array_equal(got, _ref(x, counts))
+    with pytest.raises(ValueError):  # not a multiple of 128
+        sorted_gather_resample(x, counts, block=100, interpret=True)
+
+
+def test_filter_with_pallas_scheme_matches_systematic(key):
+    """The filter's 'systematic-pallas' scheme is bit-identical to
+    'systematic' given the same key (same closed-form counts)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from composablestatespacemodels_tpu import (bootstrap_filter, linear,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 20)
+    data = sim.to_timeseries()
+    with pltpu.force_tpu_interpret_mode():
+        res_p = bootstrap_filter(model, params, data, 1024, key,
+                                 resample="systematic-pallas", store="ll")
+    res_s = bootstrap_filter(model, params, data, 1024, key,
+                             resample="systematic", store="ll")
+    np.testing.assert_allclose(res_p.ll, res_s.ll, rtol=1e-6)
+    np.testing.assert_array_equal(res_p.final_particles,
+                                  res_s.final_particles)
