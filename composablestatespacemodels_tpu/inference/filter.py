@@ -146,14 +146,123 @@ def _make_save_fn(model: Model, store, interval: float):
     raise ValueError(f"unknown store mode {store!r}")
 
 
+def _make_save_fn_t(model: Model, store, interval: float):
+    """Save functions for the transposed [d, N] particle layout."""
+    if store == "ll" or store is None:
+        return lambda t, x_t, key: ()
+    if store == "path":
+        def save(t, x_t, key):
+            i = jax.random.randint(key, (), 0, x_t.shape[1])
+            return x_t[:, i]
+        return save
+    if store == "summary":
+        def save(t, x_t, key):
+            n = x_t.shape[1]
+            k = math.floor(n * interval)
+            s = jnp.sort(x_t, axis=1)
+            mean = jnp.mean(x_t, axis=1)
+            s_lo, s_hi = s[:, n - k - 1], s[:, k - 1]
+            etas = model.link(model.f_t(x_t, t))
+            eta_mean = model.link(model.f(mean, t))
+            es = jnp.sort(etas)
+            e_lo, e_hi = es[n - k], es[min(k, n - 1)]
+            return (eta_mean, e_lo, e_hi, mean, s_lo, s_hi)
+        return save
+    if callable(store):
+        return store
+    raise ValueError(f"unknown store mode {store!r}")
+
+
+def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
+                   n_particles: int, key, t0, x_init,
+                   store, ess_threshold, interval: float):
+    """Transposed-layout scan: particles as [d, N] with the particle axis on
+    TPU lanes, resampling via the Pallas merge-gather kernel with no
+    per-step relayouts (an [N, d] <-> [d, N] transpose at N ~ 1e6 costs
+    more than the entire resampling kernel)."""
+    from ..ops.resample_kernel import sorted_gather_resample_t, systematic_counts
+
+    save_fn = _make_save_fn_t(model, store, interval)
+
+    k_init, k_scan = jax.random.split(key)
+    d = model.dim
+    d_pad = (-d) % 8  # DMA sublane alignment for the kernel
+    if x_init is None:
+        x_t = model.initial_state_t(params, k_init, n_particles)
+    else:
+        x_init = jnp.asarray(x_init)
+        x_t = (jnp.broadcast_to(x_init[:, None], (d, n_particles))
+               if x_init.ndim == 1 else x_init.T)
+
+    dtype = x_t.dtype
+    n = n_particles
+
+    def step(carry, inp):
+        x_t, t_prev, ll, ess = carry
+        t, y, mask, k = inp
+        k_prop, k_res, k_save = jax.random.split(k, 3)
+
+        x1 = model.step_t(params, k_prop, x_t, t - t_prev)
+
+        y_safe = jnp.where(mask, y, 0.0)
+        gamma = model.f_t(x1, t)
+        logw = model.log_density(params, gamma, y_safe)
+        logw = jnp.where(mask, logw, 0.0)
+
+        maxw = jnp.max(logw)
+        w = jnp.exp(logw - maxw)
+        total = jnp.sum(w)
+        ll_inc = jnp.where(mask, maxw + jnp.log(total / n), 0.0)
+        wn = w / total
+        ess1 = jnp.where(
+            mask, jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32), ess)
+
+        if ess_threshold is None:
+            do_resample = mask
+        else:
+            do_resample = mask & (ess1 < ess_threshold * n)
+
+        def yes(args):
+            xp, wp = args
+            counts = systematic_counts(k_res, wp)
+            if d_pad:
+                xp = jnp.concatenate(
+                    [xp, jnp.zeros((d_pad, n), dtype)], axis=0)
+            out = sorted_gather_resample_t(xp, counts)
+            return out[:d] if d_pad else out
+
+        x2 = jax.lax.cond(do_resample, yes, lambda a: a[0], (x1, w))
+        ll1 = ll + ll_inc
+        out = (save_fn(t, x2, k_save), ll1, ess1)
+        return (x2, t, ll1, ess1), out
+
+    t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
+    keys = jax.random.split(k_scan, data.ts.shape[0])
+    init = (x_t, t_start, jnp.asarray(0.0, dtype), jnp.asarray(n, jnp.int32))
+    (xf_t, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
+        step, init, (data.ts, data.ys, data.mask, keys))
+
+    summary = None
+    path = None
+    if store == "summary":
+        eta_mean, e_lo, e_hi, s_mean, s_lo, s_hi = saved
+        summary = PfSummary(data.ts, eta_mean, e_lo, e_hi, s_mean, s_lo, s_hi)
+    elif store == "path":
+        path = saved
+
+    return FilterResult(ll, ll_hist, ess_hist, xf_t.T, summary, path)
+
+
 @partial(jax.jit,
          static_argnames=("model", "n_particles", "resample", "store",
                           "ess_threshold", "interval"))
 def _filter_impl(model: Model, params: Tree, data: TimeSeries,
                  n_particles: int, key, t0, x_init,
                  resample: str, store, ess_threshold, interval: float):
-    resample_fn = (None if resample == "systematic-pallas"
-                   else rs.get_scheme(resample))
+    if resample == "systematic-pallas":
+        return _filter_impl_t(model, params, data, n_particles, key, t0,
+                              x_init, store, ess_threshold, interval)
+    resample_fn = rs.get_scheme(resample)
     save_fn = _make_save_fn(model, store, interval)
 
     k_init, k_scan = jax.random.split(key)
@@ -204,20 +313,10 @@ def _filter_impl(model: Model, params: Tree, data: TimeSeries,
         else:
             do_resample = mask & (ess1 < ess_threshold * n)
 
-        if resample == "systematic-pallas":
-            # fused merge-gather kernel (ops.resample_kernel): weights ->
-            # counts (closed form) -> streaming sorted gather on the MXU
-            from ..ops.resample_kernel import systematic_resample_pallas
-
-            def yes(args):
-                x, w = args
-                return (systematic_resample_pallas(k_res, x, w),
-                        jnp.full((n,), 1.0 / n, dtype=dtype))
-        else:
-            def yes(args):
-                x, w = args
-                idx = resample_fn(k_res, w)
-                return x[idx], jnp.full((n,), 1.0 / n, dtype=dtype)
+        def yes(args):
+            x, w = args
+            idx = resample_fn(k_res, w)
+            return x[idx], jnp.full((n,), 1.0 / n, dtype=dtype)
 
         def no(args):
             return args

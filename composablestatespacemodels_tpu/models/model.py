@@ -168,6 +168,18 @@ class Model:
     def step(self, params: Tree, key, x, dt):
         return self.sde.step(self.sde_params(params), key, x, dt)
 
+    # -- transposed [dim, N] layout (particle axis on TPU lanes) -------------
+
+    def initial_state_t(self, params: Tree, key, n: int):
+        return self.sde.initial_state_t(self.sde_params(params), key, n)
+
+    def step_t(self, params: Tree, key, x_t, dt):
+        return self.sde.step_t(self.sde_params(params), key, x_t, dt)
+
+    def f_t(self, x_t, t):
+        """gamma [N] from a transposed [dim, N] particle block."""
+        return self.design_vector(t) @ x_t
+
     # -- linear transform f ----------------------------------------------------------
 
     def design_vector(self, t):

@@ -83,6 +83,24 @@ class Sde:
         z = jax.random.normal(key, jnp.shape(x), jnp.result_type(x))
         return x + self.drift(p, x) * dtb + self.diffusion(p, x) * jnp.sqrt(dtb) * z
 
+    # -- transposed [dim, N] layout (TPU-native particle axis on lanes) ------
+
+    def step_t(self, p, key, x_t, dt):
+        """Exact transition on a transposed ``[dim, N]`` particle block.
+
+        The particle axis rides the 128-wide lane dimension -- the layout
+        the Pallas resampling kernel consumes, so the whole filter scan can
+        stay transposed with zero per-step relayouts.
+        """
+        raise NotImplementedError(
+            f"{type(self).__name__} has no transposed step")
+
+    def initial_state_t(self, p, key, n: int):
+        """Transposed initial particle block ``[dim, n]``."""
+        m0, c0 = self.initial_moments(p)
+        z = jax.random.normal(key, (self.dim, n), m0.dtype)
+        return m0[:, None] + jnp.sqrt(c0)[:, None] * z
+
     def validate(self, p) -> None:
         """Construction-time parameter/shape validation (replaces the
         reference's ReaderT[Try] fail-fast construction, Sde.scala:181-202)."""
@@ -157,6 +175,11 @@ class Brownian(Sde):
         z = jax.random.normal(key, jnp.shape(x), jnp.result_type(x))
         return x + jnp.sqrt(sigma * dtb) * z
 
+    def step_t(self, p, key, x_t, dt):
+        _, _, sigma = self.constrain(p)
+        z = jax.random.normal(key, jnp.shape(x_t), jnp.result_type(x_t))
+        return x_t + jnp.sqrt(sigma * dt)[:, None] * z
+
     def transition_coeffs(self, p, dt):
         m0, c0, sigma = self.constrain(p)
         ones = jnp.ones_like(m0)
@@ -208,6 +231,11 @@ class GenBrownian(Sde):
         dtb = _bcast_dt(dt)
         z = jax.random.normal(key, jnp.shape(x), jnp.result_type(x))
         return x + mu * dtb + jnp.sqrt(sigma * dtb) * z
+
+    def step_t(self, p, key, x_t, dt):
+        _, _, mu, sigma = self.constrain(p)
+        z = jax.random.normal(key, jnp.shape(x_t), jnp.result_type(x_t))
+        return x_t + (mu * dt)[:, None] + jnp.sqrt(sigma * dt)[:, None] * z
 
     def transition_coeffs(self, p, dt):
         m0, c0, mu, sigma = self.constrain(p)
@@ -266,6 +294,13 @@ class Ou(Sde):
         mean = mu + (x - mu) * jnp.exp(-phi * dtb)
         z = jax.random.normal(key, jnp.shape(x), jnp.result_type(x))
         return mean + jnp.sqrt(self.variance(p, dt)) * z
+
+    def step_t(self, p, key, x_t, dt):
+        _, _, phi, mu, _ = self.constrain(p)
+        muc = mu[:, None]
+        mean = muc + (x_t - muc) * jnp.exp(-phi * dt)[:, None]
+        z = jax.random.normal(key, jnp.shape(x_t), jnp.result_type(x_t))
+        return mean + jnp.sqrt(self.variance(p, dt))[:, None] * z
 
     def transition_coeffs(self, p, dt):
         _, _, phi, mu, sigma = self.constrain(p)
@@ -331,6 +366,15 @@ class CompositeSde(Sde):
             [self.left.step(p[0], kl, xl, dt),
              self.right.step(p[1], kr, xr, dt)],
             axis=-1)
+
+    def step_t(self, p, key, x_t, dt):
+        kl, kr = jax.random.split(key)
+        xl = x_t[: self.left.dim]
+        xr = x_t[self.left.dim:]
+        return jnp.concatenate(
+            [self.left.step_t(p[0], kl, xl, dt),
+             self.right.step_t(p[1], kr, xr, dt)],
+            axis=0)
 
     def transition_coeffs(self, p, dt):
         al, bl, ql = self.left.transition_coeffs(p[0], dt)

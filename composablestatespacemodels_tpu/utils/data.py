@@ -209,3 +209,39 @@ def simulate_lgcp(model, params, key, start: float, end: float,
     )
     grid = SimulatedData(ts, jnp.zeros_like(ts), jnp.exp(gammas), gammas, xs)
     return events, grid
+
+
+# ---------------------------------------------------------------------------
+# timestamped observations (reference TimestampObservation, Data.scala:45)
+# ---------------------------------------------------------------------------
+
+
+def timeseries_from_timestamps(timestamps, ys=None, unit: str = "h",
+                               epoch=None):
+    """Build a :class:`TimeSeries` from wall-clock timestamps.
+
+    Args:
+      timestamps: array-like of ``numpy.datetime64`` (or parseable strings).
+      ys: observations (None/NaN => missing).
+      unit: numpy timedelta unit for the continuous time axis
+        ('h' hours, 'D' days, 's' seconds, ...).
+      epoch: reference timestamp mapped to t=0 (default: first timestamp).
+
+    Returns ``(timeseries, epoch)`` -- keep ``epoch`` to map filter output
+    times back to timestamps with :func:`timestamps_of`.
+    """
+    stamps = np.asarray(timestamps, dtype="datetime64[ns]")
+    if epoch is None:
+        epoch = stamps[0]
+    else:
+        epoch = np.datetime64(epoch)
+    ts = (stamps - epoch) / np.timedelta64(1, unit)
+    return TimeSeries.from_arrays(ts.astype(np.float64), ys), epoch
+
+
+def timestamps_of(ts, epoch, unit: str = "h"):
+    """Continuous times -> numpy.datetime64 stamps (inverse of the above)."""
+    epoch = np.datetime64(epoch)
+    deltas = (np.asarray(ts) * np.timedelta64(1, unit).astype(
+        "timedelta64[ns]").astype(np.float64)).astype("timedelta64[ns]")
+    return epoch + deltas

@@ -183,3 +183,39 @@ def test_ascii_histogram(capsys, key):
     strm.ascii_histogram(jax.random.normal(key, (1000,)), bins=5)
     outp = capsys.readouterr().out
     assert outp.count("|") == 5
+
+
+def test_timestamp_roundtrip():
+    from composablestatespacemodels_tpu.utils.data import (
+        timeseries_from_timestamps, timestamps_of)
+
+    stamps = np.asarray(["2024-01-01T00:00", "2024-01-01T06:00",
+                         "2024-01-02T00:00"], dtype="datetime64[ns]")
+    data, epoch = timeseries_from_timestamps(stamps, [1.0, None, 3.0],
+                                             unit="h")
+    np.testing.assert_allclose(data.ts, [0.0, 6.0, 24.0])
+    np.testing.assert_array_equal(data.mask, [True, False, True])
+    back = timestamps_of(data.ts, epoch, unit="h")
+    assert (back == stamps).all()
+
+
+def test_time_fn_and_benchmark_filter(key):
+    import jax.numpy as jnp
+
+    from composablestatespacemodels_tpu import linear, simulate_regular
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+    from composablestatespacemodels_tpu.utils import profiling
+
+    med, times = profiling.time_fn(lambda x: x * 2, jnp.ones((8,)),
+                                   repeats=3, warmup=1)
+    assert med >= 0 and len(times) == 3
+
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 10)
+    out = profiling.benchmark_filter(model, params, sim.to_timeseries(), key,
+                                     particle_counts=(64, 128), repeats=1)
+    assert len(out) == 2
+    assert out[0][2] > 0
