@@ -17,7 +17,7 @@ online Bayesian analysis of streaming data", Stat Comput 28, 2018):
 
 __version__ = "0.1.0"
 
-from . import inference, models, utils
+from . import inference, models, native, utils
 from .inference import (bootstrap_filter, forecast, forecast_times,
                         interpolation_filter, kalman_filter, lgcp_filter,
                         log_likelihood, make_pf_loglik, pilot_run,
@@ -31,7 +31,7 @@ from .models import (bernoulli, beta, branch, brownian_motion, brownian_params,
 from .utils import SimulatedData, TimeSeries, simulate, simulate_lgcp, simulate_regular
 
 __all__ = [
-    "models", "inference", "utils",
+    "models", "inference", "utils", "native",
     "poisson", "linear", "seasonal", "students_t", "bernoulli", "beta",
     "negative_binomial", "zero_inflated_poisson", "lgcp", "compose",
     "brownian_motion", "gen_brownian_motion", "ou_process",

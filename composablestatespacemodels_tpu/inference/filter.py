@@ -465,3 +465,68 @@ def forecast_times(model: Model, params: Tree, particles, t_prev, ts, key,
     keys = jax.random.split(key, ts.shape[0])
     _, out = jax.lax.scan(body, (particles, jnp.asarray(t_prev)), (ts, keys))
     return out
+
+
+def forecast_from_posterior(model: Model, stacked_params, key, t0, ts,
+                            n_samples: int, state_samples=None,
+                            interval: float = 0.995) -> Forecast:
+    """Forecast driven by posterior parameter (and optionally state) draws.
+
+    The reference version resamples (params, state) pairs from the joint
+    posterior and simulates each forward (SimulateData.forecast,
+    Data.scala:202-231).  Here each posterior draw gets its own latent
+    trajectory via one vmapped scan; summaries pool over draws.
+
+    Args:
+      model: model spec.
+      stacked_params: parameter pytree with a leading sample axis (e.g. a
+        thinned ``PmmhResult.params``).
+      key: PRNG key.
+      t0: forecast start time.
+      ts: future times [T].
+      n_samples: number of posterior draws to propagate.
+      state_samples: optional [n_samples, d] initial latent states (e.g. a
+        filtering cloud); default: fresh draws from each parameter set's
+        initial distribution.
+    """
+    ts = jnp.asarray(ts)
+    leaves = jax.tree_util.tree_leaves(stacked_params)
+    n_avail = leaves[0].shape[0]
+    k_pick, k_init, k_scan = jax.random.split(key, 3)
+    idx = jax.random.randint(k_pick, (n_samples,), 0, n_avail)
+    picked = jax.tree_util.tree_map(lambda x: x[idx], stacked_params)
+
+    def init_one(k, p):
+        return model.initial_state(p, k)
+
+    if state_samples is None:
+        x0 = jax.vmap(init_one)(jax.random.split(k_init, n_samples), picked)
+    else:
+        x0 = jnp.asarray(state_samples)[:n_samples]
+
+    def sim_one(k, p, x):
+        def body(carry, inp):
+            xc, tp = carry
+            t, kk = inp
+            k1, k2 = jax.random.split(kk)
+            x1 = model.step(p, k1, xc, t - tp)
+            gamma = model.f(x1, t)
+            y = model.sample_obs(k2, p, gamma)
+            return (x1, t), (x1, model.link(gamma), y)
+
+        keys = jax.random.split(k, ts.shape[0])
+        _, out = jax.lax.scan(body, (x, jnp.asarray(t0, x.dtype)), (ts, keys))
+        return out
+
+    xs, etas, obs = jax.vmap(sim_one)(
+        jax.random.split(k_scan, n_samples), picked, x0)
+    # pool over draws per future time: [T] summaries
+    sw = lambda a: jnp.swapaxes(a, 0, 1)
+    xs, etas, obs = sw(xs), sw(etas), sw(obs)
+
+    s_lo, s_hi = jax.vmap(lambda x: credible_interval_state(x, interval))(xs)
+    e_lo, e_hi = jax.vmap(lambda e: credible_interval_eta(e, interval))(etas)
+    o_lo, o_hi = jax.vmap(lambda o: credible_interval_eta(o, interval))(obs)
+    return Forecast(ts, jnp.mean(obs, axis=1), o_lo, o_hi,
+                    jnp.mean(etas, axis=1), e_lo, e_hi,
+                    jnp.mean(xs, axis=1), s_lo, s_hi)

@@ -188,3 +188,32 @@ def effective_sample_size(weights):
     """
     wn = _normalise(weights)
     return jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32)
+
+
+def sample_one(key, xs):
+    """Uniformly sample one element (leading axis).
+
+    Reference: Resampling.sampleOne, Resampling.scala:151-154.
+    """
+    i = jax.random.randint(key, (), 0, jax.tree_util.tree_leaves(xs)[0].shape[0])
+    return jax.tree_util.tree_map(lambda x: x[i], xs)
+
+
+def sample_many(key, n: int, xs):
+    """Uniformly sample n elements WITHOUT replacement.
+
+    Reference: Resampling.sampleMany, Resampling.scala:159-162.
+    """
+    m = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    idx = jax.random.permutation(key, m)[:n]
+    return jax.tree_util.tree_map(lambda x: x[idx], xs)
+
+
+def posterior_sample(key, stacked, n: int):
+    """Resample n draws (with replacement) from a stacked posterior pytree.
+
+    Reference: Streaming.createDist, Streaming.scala:170-174.
+    """
+    m = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    idx = jax.random.randint(key, (n,), 0, m)
+    return jax.tree_util.tree_map(lambda x: x[idx], stacked)

@@ -36,18 +36,43 @@ from .data import SimulatedData, TimeSeries
 
 
 def write_timeseries_csv(path: str, data: TimeSeries) -> None:
-    """Rows ``t,y`` with an empty observation field when missing."""
+    """Rows ``t,y`` with an empty observation field when missing.
+
+    Uses the native C++ writer (:mod:`..native`) when available.
+    """
     ts = np.asarray(data.ts)
     ys = np.asarray(data.ys)
     mask = np.asarray(data.mask)
+    from .. import native
+    if native.write_timeseries_csv(path, ts, ys, mask):
+        return
     with open(path, "w") as f:
         for t, y, m in zip(ts, ys, mask):
             f.write(f"{t},{y if m else ''}\n")
 
 
+def _build_timeseries(ts, ys, mask) -> TimeSeries:
+    import jax.numpy as _jnp
+    f = _jnp.result_type(float)
+    return TimeSeries(_jnp.asarray(ts, dtype=f),
+                      _jnp.asarray(np.where(mask, ys, 0.0), dtype=f),
+                      _jnp.asarray(mask))
+
+
 def read_timeseries_csv(path: str) -> TimeSeries:
     """First column time, second observation; ``NA``/empty => missing
-    (Data.scala:258)."""
+    (Data.scala:258).
+
+    Uses the native single-pass C++ parser (:mod:`..native`) when available
+    -- the host-side equivalent of the reference's Akka file-streaming
+    stages (Data.scala:252-260) -- falling back to pure Python.  The native
+    parser is lenient: lines whose time field does not parse are skipped
+    (the Python fallback raises).
+    """
+    from .. import native
+    parsed = native.parse_timeseries_csv(path)
+    if parsed is not None:
+        return _build_timeseries(*parsed)
     ts, ys = [], []
     with open(path) as f:
         for line in f:
@@ -74,6 +99,11 @@ def write_timeseries_json(path: str, data: TimeSeries) -> None:
 
 
 def read_timeseries_json(path: str) -> TimeSeries:
+    """Line-delimited JSON reader (native fast path when available)."""
+    from .. import native
+    parsed = native.parse_timeseries_json(path)
+    if parsed is not None:
+        return _build_timeseries(*parsed)
     ts, ys = [], []
     with open(path) as f:
         for line in f:
@@ -222,3 +252,43 @@ def posterior_to_csv(json_path: str, csv_path: str, template: Tree) -> None:
             flat, _ = ravel_pytree(p_i)
             row = [str(float(v)) for v in np.asarray(flat)]
             f.write(",".join(row + [str(float(lls[i]))]) + "\n")
+
+
+def write_forecast_csv(path: str, fc) -> None:
+    """Forecast summaries -> CSV (reference Show[ForecastOut],
+    CsvFormat.scala:66-76): t, obs mean/lo/hi, eta mean/lo/hi, state mean."""
+    t = np.atleast_1d(np.asarray(fc.t))
+    cols = [t,
+            np.atleast_1d(np.asarray(fc.obs_mean)),
+            np.atleast_1d(np.asarray(fc.obs_lower)),
+            np.atleast_1d(np.asarray(fc.obs_upper)),
+            np.atleast_1d(np.asarray(fc.eta_mean)),
+            np.atleast_1d(np.asarray(fc.eta_lower)),
+            np.atleast_1d(np.asarray(fc.eta_upper))]
+    state = np.atleast_2d(np.asarray(fc.state_mean))
+    with open(path, "w") as f:
+        for i in range(t.shape[0]):
+            row = [c[i] for c in cols] + list(state[i])
+            f.write(",".join(str(float(v)) for v in row) + "\n")
+
+
+def write_filter_json(path: str, result, ts=None) -> None:
+    """Per-step filter summaries -> line-delimited JSON (reference
+    Show/json for PfOut, jsonFormats.scala:120-143)."""
+    s = result.summary
+    if s is None:
+        raise ValueError("write_filter_json needs store='summary' output")
+    n = int(s.ts.shape[0])
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(json.dumps({
+                "time": float(s.ts[i]),
+                "eta": float(s.eta_mean[i]),
+                "etaIntervals": [float(s.eta_lower[i]),
+                                 float(s.eta_upper[i])],
+                "state": [float(v) for v in np.asarray(s.state_mean[i])],
+                "stateLower": [float(v) for v in np.asarray(s.state_lower[i])],
+                "stateUpper": [float(v) for v in np.asarray(s.state_upper[i])],
+                "ess": int(result.ess[i]),
+                "ll": float(result.ll_history[i]),
+            }) + "\n")
