@@ -16,7 +16,7 @@ leaf arrays are traced.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import jax
 

@@ -48,14 +48,22 @@ _LANE = 128
 
 
 def _merge_kernel(first_ref, last_ref, base_ref,
-                  c_hbm, xt_hbm, out_ref,
+                  c0_blk, x0_blk, c_hbm, xt_hbm, out_ref,
                   cblk, xblk, sem_c, sem_x):
     """Grid: (n_out_blocks,).
 
     Scalar-prefetch: first/last input-block index and entering count per
-    output block.  c_hbm [n_in, 128, C] int32 (column m of a block holds
-    entries [128*m, 128*(m+1)), lane-padded to C >= 128) and xt_hbm [d, N]
-    stay in HBM/ANY; out_ref is the g-th [d, B] output block in VMEM.
+    output block.  The *first* input block each output block needs arrives
+    through auto-pipelined BlockSpecs whose index maps read the prefetched
+    ``first`` array (``c0_blk``/``x0_blk``) -- in the common one-input-block
+    case the kernel issues **zero** in-kernel DMAs, removing ~n_blocks
+    serial DMA round-trips per filter step.  Rare extra blocks (output
+    blocks straddling an input-block boundary, or degenerate weights) are
+    fetched manually from the HBM/ANY refs ``c_hbm``/``xt_hbm``.
+
+    c_hbm [n_in, 128, C] int32: column m of a block holds entries
+    [128*m, 128*(m+1)), lane-padded to C >= 128.  out_ref is the g-th
+    [d, B] output block in VMEM.
 
     Scratch: cblk [128, C] int32, xblk [d, B], two DMA semaphores.
     """
@@ -68,23 +76,15 @@ def _merge_kernel(first_ref, last_ref, base_ref,
     q0 = g * block
     q_row = q0 + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)  # [1, B]
 
-    def body(j, prev_cmax):
-        cp = pltpu.make_async_copy(c_hbm.at[j], cblk, sem_c)
-        xp = pltpu.make_async_copy(
-            xt_hbm.at[:, pl.ds(j * block, block)], xblk, sem_x)
-        cp.start()
-        xp.start()
-        cp.wait()
-        xp.wait()
-
-        cmax = cblk[_LANE - 1, n_chunks - 1]
+    def serve(c_at, x_at, prev_cmax):
+        cmax = c_at[_LANE - 1, n_chunks - 1]
 
         # block-local ancestor = #entries <= q: lane-oriented count.
         # chunk m's 128 entries sit in column m -> [128, 1] against [1, B].
         anc = jnp.zeros((1, block), jnp.int32)
         for m in range(n_chunks):
             anc = anc + jnp.sum(
-                (cblk[:, m:m + 1] <= q_row).astype(jnp.int32), axis=0,
+                (c_at[:, m:m + 1] <= q_row).astype(jnp.int32), axis=0,
                 keepdims=True)                                    # [1, B]
 
         active = (q_row >= prev_cmax) & (q_row < cmax)            # [1, B]
@@ -101,14 +101,28 @@ def _merge_kernel(first_ref, last_ref, base_ref,
             hi_k = hi_b[:, sl]
             acc = jnp.zeros((d, _LANE), out_ref.dtype)
             for gsrc in range(n_chunks):
-                src = xblk[:, gsrc * _LANE:(gsrc + 1) * _LANE]    # [d, 128]
+                src = x_at[:, gsrc * _LANE:(gsrc + 1) * _LANE]    # [d, 128]
                 part = jnp.take_along_axis(src, idx_k, axis=1)
                 acc = jnp.where(hi_k == gsrc, part, acc)
             out_ref[:, sl] = jnp.where(act_b[:, sl], acc, out_ref[:, sl])
 
         return cmax
 
-    jax.lax.fori_loop(first_ref[g], last_ref[g] + 1, body, base_ref[g])
+    # common case: the auto-pipelined first block (no in-kernel DMA)
+    prev = serve(c0_blk[0], x0_blk, base_ref[g])
+
+    # rare extras: manual sequential DMA per additional input block
+    def body(j, prev_cmax):
+        cp = pltpu.make_async_copy(c_hbm.at[j], cblk, sem_c)
+        xp = pltpu.make_async_copy(
+            xt_hbm.at[:, pl.ds(j * block, block)], xblk, sem_x)
+        cp.start()
+        xp.start()
+        cp.wait()
+        xp.wait()
+        return serve(cblk, xblk, prev_cmax)
+
+    jax.lax.fori_loop(first_ref[g] + 1, last_ref[g] + 1, body, prev)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
@@ -132,13 +146,20 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
     n_chunks = block // _LANE
     counts = counts.astype(jnp.int32)
 
-    # XLA prepass: input-block range + entering count per output block
+    # XLA prepass: input-block range + entering count per output block.
+    # first_g = #blocks whose max count <= g*block (== anc_{gB} // block):
+    # a dense [n_blocks, n_blocks] compare over block maxima beats a 20-round
+    # binary search over the full counts array.
     edges = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    anc_first = jnp.searchsorted(counts, edges, side="right")
-    anc_last = jnp.searchsorted(counts, edges + (block - 1), side="right")
-    first = jnp.clip(anc_first // block, 0, n_blocks - 1).astype(jnp.int32)
-    last = jnp.clip(anc_last // block, 0, n_blocks - 1).astype(jnp.int32)
-    base = jnp.where(first > 0, counts[jnp.maximum(first * block - 1, 0)],
+    blockmax = counts.reshape(n_blocks, block)[:, -1]
+    first = jnp.sum((blockmax[None, :] <= edges[:, None]).astype(jnp.int32),
+                    axis=1)
+    last = jnp.sum(
+        (blockmax[None, :] <= edges[:, None] + (block - 1)).astype(jnp.int32),
+        axis=1)
+    first = jnp.clip(first, 0, n_blocks - 1).astype(jnp.int32)
+    last = jnp.clip(last, 0, n_blocks - 1).astype(jnp.int32)
+    base = jnp.where(first > 0, blockmax[jnp.maximum(first - 1, 0)],
                      0).astype(jnp.int32)
 
     # column-packed counts: block j, column m = entries [128m, 128(m+1));
@@ -152,10 +173,18 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
         num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
+            # auto-pipelined first input block per output block: index maps
+            # read the prefetched `first` array
+            pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)),
+                         lambda g, first, last, base: (first[g], 0, 0)),
+            pl.BlockSpec((d, block),
+                         lambda g, first, last, base: (0, first[g])),
+            # raw refs for the rare manual path
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((d, block), lambda g, *_: (0, g)),
+        out_specs=pl.BlockSpec(
+            (d, block), lambda g, first, last, base: (0, g)),
         scratch_shapes=[
             pltpu.VMEM((_LANE, max(n_chunks, _LANE)), jnp.int32),
             pltpu.VMEM((d, block), x_t.dtype),
@@ -169,7 +198,7 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, c_cols, x_t)
+    )(first, last, base, c_cols, x_t, c_cols, x_t)
 
 
 def sorted_gather_resample(x, counts, block: int = 1024,

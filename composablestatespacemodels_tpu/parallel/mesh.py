@@ -12,7 +12,7 @@ is green-field TPU design: a (chains x particles) mesh where
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -22,7 +22,6 @@ Design per SURVEY.md section 2.3 / 5.8; there is no reference equivalent
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

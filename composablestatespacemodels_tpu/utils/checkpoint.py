@@ -9,7 +9,6 @@ accepted count, iteration), no pickling, no classloader games.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict
 

@@ -19,7 +19,6 @@ cats Show CSV instances (CsvFormat.scala:7-87):
 from __future__ import annotations
 
 import json
-from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -122,3 +122,51 @@ def test_thin_shapes(lg_setup, key):
     kept = res.thin(burn_in=20, thin=4)
     assert kept.lls.shape == (20,)
     assert kept.params.value.scale.shape[0] == 20
+
+
+def test_pmmh_composed_seasonal_poisson_recovery(key):
+    """BASELINE config 4: PMMH on the composed seasonal-Poisson model.
+
+    With all parameters but one pinned, the posterior over the Poisson
+    component's OU mean should concentrate near the generating value.
+    """
+    from composablestatespacemodels_tpu import (poisson, seasonal,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.models import (Branch, Leaf, branch,
+                                                       leaf, ou_params,
+                                                       ou_process, param_node)
+
+    model = poisson(ou_process(1)) + seasonal(24, 2, ou_process(4))
+    true_mu = 1.5
+    right = leaf(param_node(None, ou_params(0.2, 0.1, 0.3, 0.2, 0.15)))
+
+    def with_mu(mu):
+        return branch(
+            leaf(param_node(None, ou_params(true_mu, 0.1, 0.5, mu, 0.2))),
+            right)
+
+    true_params = with_mu(true_mu)
+    sim = simulate_regular(model, true_params, jax.random.PRNGKey(2), 120,
+                           dt=1.0)
+    data = sim.to_timeseries()
+    pf_ll = pm.make_pf_loglik(model, data, 150)
+
+    # propose only on the left OU mu: custom proposal keeps others fixed
+    def proposal(k, p):
+        delta = 0.05 * jax.random.normal(k, ())
+        left = p.left.value
+        new_sde = left.sde.__class__(left.sde.m0, left.sde.c0, left.sde.phi,
+                                     left.sde.mu + delta, left.sde.sigma)
+        from composablestatespacemodels_tpu.models import ParamNode
+        return Branch(Leaf(ParamNode(left.scale, new_sde)), p.right)
+
+    start = with_mu(0.0)  # start away from the truth
+    res = pm.pmmh(key, start, pf_ll, proposal, 800)
+    kept = res.thin(burn_in=300, thin=2)
+    mus = np.asarray(kept.params.left.value.sde.mu[:, 0])
+    post_mean, post_sd = mus.mean(), mus.std()
+    # posterior concentrates near the generating value
+    assert abs(post_mean - true_mu) < max(4 * post_sd, 0.5), (
+        f"posterior mean {post_mean:.3f} sd {post_sd:.3f} vs truth {true_mu}")
+    # and has clearly moved from the start
+    assert abs(post_mean - 0.0) > abs(post_mean - true_mu)
