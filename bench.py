@@ -82,11 +82,42 @@ def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
     return n_particles * n_steps / median
 
 
+def bench_pmmh(n_particles: int = 1024, n_obs: int = 250,
+               n_iters: int = 200) -> float:
+    """Secondary metric (stderr only): PMMH iterations/sec -- one full PF
+    sweep per iteration (the reference's DeterminePosterior hot loop,
+    DetermineParameters.scala:55-85)."""
+    from composablestatespacemodels_tpu.models import perturb
+
+    model, params = flagship_model()
+    key = jax.random.PRNGKey(0)
+    sim = cssm.simulate_regular(model, params, key, n_obs, dt=1.0)
+    pf_ll = cssm.make_pf_loglik(model, sim.to_timeseries(), n_particles)
+
+    def run(k):
+        return cssm.pmmh(k, params, pf_ll, perturb(0.05), n_iters).lls[-1]
+
+    run(key).block_until_ready()
+    best = float("inf")
+    for i in range(2):
+        k = jax.random.fold_in(key, i + 1)
+        t0 = time.perf_counter()
+        float(run(k))
+        best = min(best, time.perf_counter() - t0)
+    rate = n_iters / best
+    print(f"PMMH: {rate:.1f} iters/s at N={n_particles}, T={n_obs} "
+          f"({rate * n_particles * n_obs:.2e} particle-steps/s inside MCMC)",
+          file=sys.stderr)
+    return rate
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes")
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--pmmh", action="store_true",
+                    help="also time PMMH iterations/sec (stderr)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -99,6 +130,8 @@ def main():
     t = args.steps or t
 
     throughput = run(n, t)
+    if args.pmmh:
+        bench_pmmh()
     print(json.dumps({
         "metric": f"particle-steps/sec at N={n:.0e} "
                   "(composed seasonal-Poisson PF)",

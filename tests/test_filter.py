@@ -168,3 +168,25 @@ def test_ll_reproducible(key):
     ll1 = log_likelihood(model, params, data, 300, key)
     ll2 = log_likelihood(model, params, data, 300, key)
     assert float(ll1) == float(ll2)
+
+
+def test_filter_under_x64(key):
+    """The filter runs under 64-bit mode (tolerance-critical workflows)."""
+    from jax import enable_x64
+
+    from composablestatespacemodels_tpu import (kalman_filter, linear,
+                                                log_likelihood,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+
+    with enable_x64():
+        model = linear(brownian_motion(1))
+        params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+        sim = simulate_regular(model, params, key, 40)
+        data = sim.to_timeseries()
+        kf = kalman_filter(model, params, data)
+        ll = log_likelihood(model, params, data, 1000, key)
+        assert ll.dtype == jnp.float64
+        np.testing.assert_allclose(float(ll), float(kf.ll), rtol=0.05)
