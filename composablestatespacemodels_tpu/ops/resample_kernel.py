@@ -48,18 +48,21 @@ _LANE = 128
 
 
 def _merge_kernel(first_ref, last_ref, base_ref,
-                  c0_blk, x0_blk, c_hbm, xt_hbm, out_ref,
+                  c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm, out_ref,
                   cblk, xblk, sem_c, sem_x):
     """Grid: (n_out_blocks,).
 
     Scalar-prefetch: first/last input-block index and entering count per
-    output block.  The *first* input block each output block needs arrives
-    through auto-pipelined BlockSpecs whose index maps read the prefetched
-    ``first`` array (``c0_blk``/``x0_blk``) -- in the common one-input-block
-    case the kernel issues **zero** in-kernel DMAs, removing ~n_blocks
-    serial DMA round-trips per filter step.  Rare extra blocks (output
-    blocks straddling an input-block boundary, or degenerate weights) are
-    fetched manually from the HBM/ANY refs ``c_hbm``/``xt_hbm``.
+    output block.  The first TWO input blocks each output block may need
+    arrive through auto-pipelined BlockSpecs whose index maps read the
+    prefetched ``first`` array (``c0_blk``/``x0_blk`` at ``first[g]``,
+    ``c1_blk``/``x1_blk`` at ``first[g]+1``): an output block's B ancestors
+    almost always straddle one input-block boundary, so serving two
+    pipelined blocks removes the serial in-kernel DMA round-trip that
+    otherwise runs for ~every block (measured 2.65 -> ~1.3 ms/step at
+    N=2^20).  Serving an unneeded second block is a no-op (its ``active``
+    mask is empty).  Spans of three or more input blocks (offspring
+    concentration) fall back to manual DMAs from ``c_hbm``/``xt_hbm``.
 
     c_hbm [n_in, 128, C] int32: column m of a block holds entries
     [128*m, 128*(m+1)), lane-padded to C >= 128.  out_ref is the g-th
@@ -108,8 +111,10 @@ def _merge_kernel(first_ref, last_ref, base_ref,
 
         return cmax
 
-    # common case: the auto-pipelined first block (no in-kernel DMA)
+    # common case: two auto-pipelined input blocks (no in-kernel DMA);
+    # the second serve writes nothing when the span is one block
     prev = serve(c0_blk[0], x0_blk, base_ref[g])
+    prev = serve(c1_blk[0], x1_blk, prev)
 
     # rare extras: manual sequential DMA per additional input block
     def body(j, prev_cmax):
@@ -122,7 +127,7 @@ def _merge_kernel(first_ref, last_ref, base_ref,
         xp.wait()
         return serve(cblk, xblk, prev_cmax)
 
-    jax.lax.fori_loop(first_ref[g] + 1, last_ref[g] + 1, body, prev)
+    jax.lax.fori_loop(first_ref[g] + 2, last_ref[g] + 1, body, prev)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
@@ -173,12 +178,20 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
         num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
-            # auto-pipelined first input block per output block: index maps
-            # read the prefetched `first` array
+            # auto-pipelined first two input blocks per output block: index
+            # maps read the prefetched `first` array
             pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)),
                          lambda g, first, last, base: (first[g], 0, 0)),
             pl.BlockSpec((d, block),
                          lambda g, first, last, base: (0, first[g])),
+            pl.BlockSpec(
+                (1, _LANE, max(n_chunks, _LANE)),
+                lambda g, first, last, base:
+                    (jnp.minimum(first[g] + 1, first.shape[0] - 1), 0, 0)),
+            pl.BlockSpec(
+                (d, block),
+                lambda g, first, last, base:
+                    (0, jnp.minimum(first[g] + 1, first.shape[0] - 1))),
             # raw refs for the rare manual path
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -198,7 +211,7 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, c_cols, x_t, c_cols, x_t)
+    )(first, last, base, c_cols, x_t, c_cols, x_t, c_cols, x_t)
 
 
 def sorted_gather_resample(x, counts, block: int = 1024,
