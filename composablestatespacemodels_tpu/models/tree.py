@@ -116,7 +116,9 @@ class Leaf(Tree):
         return isinstance(other, Leaf) and _eq(self.value, other.value)
 
     def __hash__(self):
-        return hash(("Leaf", id(self.value)))
+        # hash a stable representation of the value so equal leaves hash
+        # equally (the hash/eq contract); arrays hash by shape/dtype/bytes
+        return hash(("Leaf", _hash_value(self.value)))
 
 
 class Branch(Tree):
@@ -163,6 +165,23 @@ def _eq(a, b):
         return bool(np.all(np.asarray(a) == np.asarray(b)))
     except Exception:
         return a == b
+
+
+def _hash_value(v):
+    """Stable value hash consistent with :func:`_eq`: array-likes hash by
+    (shape, dtype, bytes); other values by their own hash; unhashable
+    non-arrays collapse to a constant (valid -- equal values still collide
+    into the same bucket)."""
+    try:
+        import numpy as np
+
+        a = np.asarray(v)
+        return hash((a.shape, str(a.dtype), a.tobytes()))
+    except Exception:
+        try:
+            return hash(v)
+        except Exception:
+            return 0
 
 
 def leaf(value) -> Leaf:

@@ -53,6 +53,11 @@ def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
         if tuple(arr.shape) != tuple(want):
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != template {want}")
+        want_dtype = np.result_type(lt)
+        if arr.dtype != want_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} dtype {arr.dtype} != template "
+                f"{want_dtype}")
         leaves.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -196,11 +196,10 @@ def read_params_json(path: str) -> Tree:
 # ---------------------------------------------------------------------------
 
 
-def write_posterior_json(path: str, result, template: Tree) -> None:
+def write_posterior_json(path: str, result) -> None:
     """Line-delimited PMMH iterations ``{"ll":..,"accepted":..,"params":..}``
     (reference pmmhToJson, Streaming.scala:42-58).  ``result`` is a
-    single-chain :class:`~..inference.pmmh.PmmhResult`; ``template`` the
-    parameter tree giving the structure."""
+    single-chain :class:`~..inference.pmmh.PmmhResult`."""
     lls = np.asarray(result.lls)
     accs = np.asarray(result.accepted)
     n = lls.shape[0]
@@ -291,3 +290,73 @@ def write_filter_json(path: str, result, ts=None) -> None:
                 "ess": int(result.ess[i]),
                 "ll": float(result.ll_history[i]),
             }) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# filter / chain state records (jsonFormats.scala:120-143)
+# ---------------------------------------------------------------------------
+
+
+def state_space_to_json(time, state) -> dict:
+    """``StateSpace(time, state)`` codec (stateSpaceFormat,
+    jsonFormats.scala:120; Sde.scala:170)."""
+    return {"time": float(time),
+            "state": np.asarray(state).tolist()}
+
+
+def state_space_from_json(d):
+    return float(d["time"]), jnp.asarray(d["state"],
+                                         jnp.result_type(float))
+
+
+def pf_state_to_json(t, observation, particles, ll, ess) -> dict:
+    """``PfState(t, observation, particles, ll, ess)`` codec
+    (pfStateFormat, jsonFormats.scala:143; ParticleFilter.scala:32-37).
+    Argument order matches the reference record (and
+    :func:`pf_state_from_json`'s return)."""
+    return {
+        "t": float(t),
+        "observation": None if observation is None else float(observation),
+        "particles": np.asarray(particles).tolist(),
+        "ll": float(ll),
+        "ess": int(ess),
+    }
+
+
+def pf_state_from_json(d):
+    obs = d.get("observation")
+    return (float(d["t"]),
+            None if obs is None else float(obs),
+            jnp.asarray(d["particles"], jnp.result_type(float)),
+            float(d["ll"]), int(d["ess"]))
+
+
+def metrop_state_to_json(ll, params, state_time, state, accepted) -> dict:
+    """``MetropState(ll, params, state: StateSpace, accepted)`` codec
+    (metropFormat, jsonFormats.scala:121; PMMH.scala:26)."""
+    return {
+        "ll": float(ll),
+        "params": params_to_json(params),
+        "state": state_space_to_json(state_time, state),
+        "accepted": int(accepted),
+    }
+
+
+def metrop_state_from_json(d):
+    t, s = state_space_from_json(d["state"])
+    return (float(d["ll"]), params_from_json(d["params"]), t, s,
+            int(d["accepted"]))
+
+
+def write_pf_states_json(path: str, states) -> None:
+    """Line-delimited PfState records (one per filter step) -- the
+    reference streams these through its Show/json sinks."""
+    with open(path, "w") as f:
+        for rec in states:
+            f.write(json.dumps(pf_state_to_json(*rec)) + "\n")
+
+
+def read_pf_states_json(path: str):
+    with open(path) as f:
+        return [pf_state_from_json(json.loads(line))
+                for line in f if line.strip()]

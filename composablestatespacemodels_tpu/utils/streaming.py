@@ -115,6 +115,18 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
     state = initial_state(init_params)
     start_chunk = 0
 
+    def _chunk_path(c):
+        return f"{checkpoint_path}.chunk{c:05d}"
+
+    def _chunk_template(size):
+        zeros = lambda x: jnp.zeros((size,) + jnp.shape(x),
+                                    jnp.result_type(x))
+        return PmmhResult(
+            jax.tree_util.tree_map(zeros, init_params),
+            jnp.zeros((size,), jnp.result_type(float)),
+            jnp.zeros((size,), jnp.int32))
+
+    pieces = []
     if checkpoint_path and checkpoint_exists(checkpoint_path):
         template = {
             "state": state,
@@ -125,11 +137,15 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
         state = saved["state"]
         key = jax.random.wrap_key_data(saved["key"])
         start_chunk = int(saved["chunk"])
+        # reload completed chunks so a resumed run returns the FULL chain
+        for c in range(start_chunk):
+            size = min(chunk_size, n_iters - c * chunk_size)
+            pieces.append(
+                restore_checkpoint(_chunk_path(c), _chunk_template(size)))
         if log_every:
             print(f"[pmmh] resumed from {checkpoint_path} at chunk "
                   f"{start_chunk}/{n_chunks}", file=out)
 
-    pieces = []
     for c in range(start_chunk, n_chunks):
         size = min(chunk_size, n_iters - c * chunk_size)
         k_chunk = jax.random.fold_in(key, c)
@@ -137,7 +153,6 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
                           prior=prior, log_transition=log_transition,
                           approx=approx, init_state=state, return_state=True)
         pieces.append(jax.device_get(res))
-        done = (c + 1 - start_chunk) * chunk_size
         if log_every:
             total_acc = int(state.accepted)
             total_it = c * chunk_size + size
@@ -145,6 +160,7 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
                   f"/{n_iters}  acceptance {total_acc / total_it:.3f}  "
                   f"ll {float(state.ll):.2f}", file=out)
         if checkpoint_path:
+            save_checkpoint(_chunk_path(c), pieces[-1])
             save_checkpoint(checkpoint_path, {
                 "state": state,
                 "key": jax.random.key_data(key),
@@ -175,3 +191,44 @@ def ascii_histogram(values, bins: int = 20, width: int = 50,
     for c, lo in zip(counts, edges[:-1]):
         bar = "#" * int(width * c / peak)
         print(f"{lo:10.3f} | {bar} {c}", file=out)
+
+
+def min_sink(values, initial: float = 0.0) -> float:
+    """Running minimum fold over a stream (Streaming.minSink,
+    Streaming.scala:197-198).  Faithfully keeps the reference's ``0.0``
+    seed, so an all-positive stream returns 0.0 -- documented quirk."""
+    out = initial
+    for v in values:
+        v = float(v)
+        if v < out:
+            out = v
+    return out
+
+
+def monitor_stream(records, every: int = 100, out=None):
+    """Yield PMMH iteration records unchanged, printing the running
+    acceptance rate every ``every`` records (the stateless
+    Streaming.monitorStream, Streaming.scala:72-82; records expose
+    ``.accepted`` or are ``(.., accepted)`` tuples)."""
+    out = sys.stderr if out is None else out
+    for i, rec in enumerate(records, start=1):
+        if i % every == 0:
+            acc = getattr(rec, "accepted", rec[-1] if isinstance(
+                rec, (tuple, list)) else rec)
+            print(f"Iteration: {i}, accepted: {float(acc) / i}", file=out)
+        yield rec
+
+
+def windowed_mean_params(stacked, window: int):
+    """Tumbling-window means of a stacked parameter pytree
+    (Streaming.calculateMeanParameters, Streaming.scala:62-67).  Returns a
+    stacked pytree with ``n // window`` entries (trailing partial window
+    dropped, as ``grouped`` emits only full groups when truncated)."""
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    k = n // window
+
+    def group_mean(x):
+        return jnp.mean(
+            x[:k * window].reshape((k, window) + x.shape[1:]), axis=1)
+
+    return jax.tree_util.tree_map(group_mean, stacked)

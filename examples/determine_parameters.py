@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--delta", type=float, default=0.05,
                     help="random-walk proposal variance "
                          "(DetermineParameters.scala:72)")
+    ap.add_argument("--plot", action="store_true",
+                    help="also write trace/histogram + pilot PNGs "
+                         "(R/Plots.R:77-107 analogue)")
     add_common_args(ap)
     args = ap.parse_args()
     cfg = config_from_args(args)
@@ -52,6 +55,12 @@ def main():
         print("n_particles, mean_ll, var_ll")
         for n, m, v in out:
             print(f"{n}, {m:.3f}, {v:.3f}")
+        if args.plot:
+            from composablestatespacemodels_tpu.utils import plots
+            plots.plot_pilot_run([n for n, _, _ in out],
+                                 [v for _, _, v in out],
+                                 f"{cfg.out}_pilot.png")
+            print(f"wrote {cfg.out}_pilot.png")
         return
 
     # posterior: chains via vmap, monitored single chain via host loop
@@ -61,8 +70,7 @@ def main():
                                cfg.n_iters, args.chains)
         for c in range(args.chains):
             chain = jax.tree_util.tree_map(lambda x: x[c], res)
-            cio.write_posterior_json(f"{cfg.out}_posterior_{c}.json", chain,
-                                     params)
+            cio.write_posterior_json(f"{cfg.out}_posterior_{c}.json", chain)
         print(f"acceptance rates: {res.acceptance_rate()}")
         from composablestatespacemodels_tpu.inference.pmmh import gelman_rubin
         print(f"R-hat(ll): {float(gelman_rubin(res.lls)):.3f}")
@@ -70,8 +78,13 @@ def main():
         res = pmmh_monitored(key, params, pf_ll, perturb(args.delta),
                              cfg.n_iters, chunk_size=1000,
                              checkpoint_path=f"{cfg.out}_chain.npz")
-        cio.write_posterior_json(f"{cfg.out}_posterior.json", res, params)
+        cio.write_posterior_json(f"{cfg.out}_posterior.json", res)
         print(f"acceptance: {float(res.acceptance_rate()):.3f}")
+    if args.plot:
+        from composablestatespacemodels_tpu.utils import plots
+        plots.plot_posterior(res, path=f"{cfg.out}_posterior.png")
+        plots.plot_diagnostics(res, path=f"{cfg.out}_diagnostics.png")
+        print(f"wrote {cfg.out}_posterior.png + _diagnostics.png")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,8 @@ from examples.common import add_common_args, config_from_args, test_model
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("data", help="line-delimited JSON observations")
+    ap.add_argument("--plot", action="store_true",
+                    help="also write a filtered-ribbon PNG (R/Plots.R:58-75)")
     add_common_args(ap)
     args = ap.parse_args()
     cfg = config_from_args(args)
@@ -36,6 +38,10 @@ def main():
                    *s.state_mean[i], res.ess[i]]
             f.write(",".join(str(float(v)) for v in row) + "\n")
     print(f"ll = {float(res.ll):.3f}; wrote {path}")
+    if args.plot:
+        from composablestatespacemodels_tpu.utils import plots
+        plots.plot_filtering(s, data, f"{cfg.out}_filtered.png")
+        print(f"wrote {cfg.out}_filtered.png")
 
 
 if __name__ == "__main__":

@@ -22,6 +22,8 @@ from examples.common import add_common_args, config_from_args, test_model
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("what", choices=["ornstein", "model", "seasonal", "lgcp"])
+    ap.add_argument("--plot", action="store_true",
+                    help="also write a PNG figure (R/Plots.R analogue)")
     add_common_args(ap)
     args = ap.parse_args()
     cfg = config_from_args(args)
@@ -42,6 +44,10 @@ def main():
         cio.write_simulated_csv(f"{cfg.out}_sims.csv", sim)
         cio.write_timeseries_json(f"{cfg.out}_sims.json", sim.to_timeseries())
         print(f"wrote {cfg.out}_sims.csv + .json ({cfg.n_obs} rows)")
+        if args.plot:
+            from composablestatespacemodels_tpu.utils import plots
+            plots.plot_simulation(sim, f"{cfg.out}_sims.png")
+            print(f"wrote {cfg.out}_sims.png")
 
     elif args.what == "seasonal":
         model = cssm.seasonal(24, 3, cssm.ou_process(6))

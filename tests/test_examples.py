@@ -30,9 +30,12 @@ def test_simulate_model_and_filtering(tmp_path, monkeypatch):
 
     run_example("filtering.py",
                 [out + "_sims.json", "--n-particles", "100", "--out",
-                 str(tmp_path / "f")], monkeypatch)
+                 str(tmp_path / "f"), "--plot"], monkeypatch)
     rows = open(str(tmp_path / "f") + "_filtered.csv").read().strip()
     assert len(rows.split("\n")) == 60
+    png = str(tmp_path / "f") + "_filtered.png"
+    assert pathlib.Path(png).exists()
+    assert pathlib.Path(png).stat().st_size > 2000
 
 
 def test_simulate_ornstein(tmp_path, monkeypatch):

@@ -1,6 +1,8 @@
 """IO round-trips (reference JsonTest.scala:16-64) + checkpoint/resume +
 streaming utilities."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,7 +91,7 @@ def chain(tmp_path_factory):
 def test_posterior_json_roundtrip(tmp_path, chain):
     p0, pf_ll, res = chain
     path = str(tmp_path / "post.json")
-    cio.write_posterior_json(path, res, p0)
+    cio.write_posterior_json(path, res)
     stacked, lls, accs = cio.read_posterior_json(path, burn_in=10, thin=2)
     assert lls.shape == (20,)
     np.testing.assert_allclose(lls, res.lls[10::2], rtol=1e-6)
@@ -101,7 +103,7 @@ def test_posterior_to_csv(tmp_path, chain):
     p0, pf_ll, res = chain
     jpath = str(tmp_path / "post.json")
     cpath = str(tmp_path / "post.csv")
-    cio.write_posterior_json(jpath, res, p0)
+    cio.write_posterior_json(jpath, res)
     cio.posterior_to_csv(jpath, cpath, p0)
     lines = open(cpath).read().strip().split("\n")
     header = lines[0].split(",")
@@ -164,12 +166,25 @@ def test_pmmh_monitored_checkpoint_resume(tmp_path, capsys, key):
                                log_every=False)
     assert res1.lls.shape == (60,)
 
-    # a fresh call resumes from the checkpoint: chunks already done are
-    # skipped, so only 0 new iterations run and the result is empty-resume
+    # a fresh call resumes from the checkpoint: completed chunks are
+    # reloaded from disk, so the FULL chain comes back (not just the
+    # post-resume tail) and the acceptance rate is consistent
     res2 = strm.pmmh_monitored(key, p0, pf_ll, perturb(0.01), 80,
                                chunk_size=20, checkpoint_path=path,
                                log_every=False)
-    assert res2.lls.shape == (20,)  # only the remaining 4th chunk
+    assert res2.lls.shape == (80,)
+    np.testing.assert_allclose(res2.lls[:60], res1.lls, rtol=1e-6)
+    np.testing.assert_array_equal(res2.accepted[:60], res1.accepted)
+    # cumulative accepted count must be nondecreasing across the resume seam
+    assert np.all(np.diff(np.asarray(res2.accepted)) >= 0)
+    assert 0.0 <= float(res2.acceptance_rate()) <= 1.0
+
+
+def test_checkpoint_dtype_mismatch_raises(tmp_path):
+    path = str(tmp_path / "c.npz")
+    ckpt.save_checkpoint(path, {"x": jnp.ones((3,), jnp.float32)})
+    with pytest.raises(ValueError, match="dtype"):
+        ckpt.restore_checkpoint(path, {"x": jnp.ones((3,), jnp.int32)})
 
 
 def test_thin_stream():
@@ -219,3 +234,59 @@ def test_time_fn_and_benchmark_filter(key):
                                      particle_counts=(64, 128), repeats=1)
     assert len(out) == 2
     assert out[0][2] > 0
+
+
+# ---------------------------------------------------------------------------
+# state-record codecs (jsonFormats.scala:120-143) + stream trivia
+# ---------------------------------------------------------------------------
+
+
+def test_pf_state_json_roundtrip(tmp_path, key):
+    parts = jax.random.normal(key, (16, 3))
+    recs = [(0.5, 1.2, parts, -3.4, 12),
+            (1.0, None, parts + 1.0, -7.8, 9)]   # missing observation
+    path = str(tmp_path / "pf.json")
+    cio.write_pf_states_json(path, recs)
+    back = cio.read_pf_states_json(path)
+    assert len(back) == 2
+    t, obs, p, ll, ess = back[0]
+    assert (t, obs, ll, ess) == (0.5, 1.2, -3.4, 12)
+    np.testing.assert_allclose(p, parts, rtol=1e-6)
+    assert back[1][1] is None
+
+
+def test_state_space_and_metrop_state_roundtrip(key):
+    t, s = cio.state_space_from_json(
+        cio.state_space_to_json(2.5, jnp.asarray([1.0, -2.0])))
+    assert t == 2.5
+    np.testing.assert_allclose(s, [1.0, -2.0])
+
+    p0 = make_tree()
+    d = cio.metrop_state_to_json(-11.0, p0, 3.0, jnp.asarray([0.1]), 42)
+    ll, p1, st, sv, acc = cio.metrop_state_from_json(
+        json.loads(json.dumps(d)))
+    assert (ll, st, acc) == (-11.0, 3.0, 42)
+    np.testing.assert_allclose(flatten_params(p1), flatten_params(p0),
+                               rtol=1e-6)
+
+
+def test_min_sink():
+    # faithful to the reference's 0.0 seed (Streaming.scala:197-198)
+    assert strm.min_sink([3.0, -2.0, 5.0]) == -2.0
+    assert strm.min_sink([3.0, 2.0]) == 0.0
+
+
+def test_monitor_stream(capsys):
+    recs = [(0.0, i + 1) for i in range(250)]
+    out_recs = list(strm.monitor_stream(iter(recs), every=100))
+    assert out_recs == recs
+    err = capsys.readouterr().err
+    assert "Iteration: 100" in err and "Iteration: 200" in err
+    assert "Iteration: 250" not in err
+
+
+def test_windowed_mean_params():
+    stacked = {"a": jnp.arange(10.0), "b": jnp.ones((10, 2))}
+    out = strm.windowed_mean_params(stacked, 4)
+    np.testing.assert_allclose(out["a"], [1.5, 5.5])
+    assert out["b"].shape == (2, 2)

@@ -134,6 +134,17 @@ def test_step_advances_composed_state(key):
     assert not np.allclose(np.asarray(x0), np.asarray(x1))
 
 
+def test_leaf_hash_eq_contract():
+    """Equal trees must hash equally (round-1 defect: Leaf hashed id())."""
+    from composablestatespacemodels_tpu.models import branch, leaf
+
+    a = branch(leaf(jnp.asarray([1.0, 2.0])), leaf(jnp.asarray(3.0)))
+    b = branch(leaf(jnp.asarray([1.0, 2.0])), leaf(jnp.asarray(3.0)))
+    assert a == b
+    assert hash(a) == hash(b)
+    assert {a: 1}[b] == 1
+
+
 def test_model_is_hashable_static():
     m1 = poisson(ou_process(1)) + seasonal(24, 4, ou_process(8))
     m2 = poisson(ou_process(1)) + seasonal(24, 4, ou_process(8))
