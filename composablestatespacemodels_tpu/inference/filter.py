@@ -198,7 +198,7 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
     n = n_particles
 
     def step(carry, inp):
-        x_t, t_prev, ll, ess = carry
+        x_t, wn, t_prev, ll, ess = carry
         t, y, mask, k = inp
         k_prop, k_res, k_save = jax.random.split(k, 3)
 
@@ -209,13 +209,15 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
         logw = model.log_density(params, gamma, y_safe)
         logw = jnp.where(mask, logw, 0.0)
 
+        # carry normalised weights across steps exactly as _filter_impl does:
+        # skipped resamples (ess_threshold) keep their weight state
         maxw = jnp.max(logw)
-        w = jnp.exp(logw - maxw)
-        total = jnp.sum(w)
-        ll_inc = jnp.where(mask, maxw + jnp.log(total / n), 0.0)
-        wn = w / total
+        u = wn * jnp.exp(logw - maxw)
+        total = jnp.sum(u)
+        ll_inc = jnp.where(mask, maxw + jnp.log(total), 0.0)
+        wn1 = u / total
         ess1 = jnp.where(
-            mask, jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32), ess)
+            mask, jnp.floor(1.0 / jnp.sum(wn1 * wn1)).astype(jnp.int32), ess)
 
         if ess_threshold is None:
             do_resample = mask
@@ -229,17 +231,20 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
                 xp = jnp.concatenate(
                     [xp, jnp.zeros((d_pad, n), dtype)], axis=0)
             out = sorted_gather_resample_t(xp, counts)
-            return out[:d] if d_pad else out
+            out = out[:d] if d_pad else out
+            return out, jnp.full((n,), 1.0 / n, dtype=dtype)
 
-        x2 = jax.lax.cond(do_resample, yes, lambda a: a[0], (x1, w))
+        x2, wn2 = jax.lax.cond(do_resample, yes, lambda a: a, (x1, wn1))
         ll1 = ll + ll_inc
         out = (save_fn(t, x2, k_save), ll1, ess1)
-        return (x2, t, ll1, ess1), out
+        return (x2, wn2, t, ll1, ess1), out
 
     t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
     keys = jax.random.split(k_scan, data.ts.shape[0])
-    init = (x_t, t_start, jnp.asarray(0.0, dtype), jnp.asarray(n, jnp.int32))
-    (xf_t, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
+    wn0 = jnp.full((n,), 1.0 / n, dtype=dtype)
+    init = (x_t, wn0, t_start, jnp.asarray(0.0, dtype),
+            jnp.asarray(n, jnp.int32))
+    (xf_t, _, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
         step, init, (data.ts, data.ys, data.mask, keys))
 
     summary = None
@@ -352,7 +357,8 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
                      initial_state=None,
                      store="summary",
                      ess_threshold: Optional[float] = None,
-                     interval: float = 0.975) -> FilterResult:
+                     interval: float = 0.975,
+                     mesh=None) -> FilterResult:
     """Run the bootstrap particle filter over a time series.
 
     Args:
@@ -373,7 +379,23 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
       ess_threshold: if set, resample only when ESS < threshold * N
         (the reference always resamples at an observation; this generalises).
       interval: credible-interval level for summaries.
+      mesh: optional ``jax.sharding.Mesh`` with a
+        :data:`~..parallel.mesh.PARTICLE_AXIS` axis: shard the particle
+        cloud over it and run the multi-chip filter (distributed systematic
+        resampling over ICI; see :mod:`..parallel.sharded_filter`).  Only
+        ``resample='systematic'`` is supported on a mesh.
     """
+    if mesh is not None:
+        from ..parallel.sharded_filter import sharded_bootstrap_filter
+
+        if resample != "systematic":
+            raise ValueError(
+                f"mesh= requires resample='systematic' (got {resample!r}); "
+                "distributed resampling shares one uniform across shards")
+        return sharded_bootstrap_filter(
+            model, params, data, n_particles, key, mesh, t0=t0,
+            initial_state=initial_state, store=store,
+            ess_threshold=ess_threshold, interval=interval)
     model.validate_params(params)
     return _filter_impl(model=model, params=params, data=data,
                         n_particles=n_particles, key=key, t0=t0,

@@ -4,24 +4,38 @@ Per time step the only global synchronisation is:
 
 * ``pmax`` of the local weight maxima and ``psum`` of the weight sums
   (the log-sum-exp update and ESS -- a handful of scalars over ICI);
-* at resample steps, an ``all_gather`` of the shifted weights (N floats)
-  plus an ``all_gather`` of the particle block ([N, d] -- rides the ICI
-  ring), after which every shard gathers exactly its own output slice of the
-  globally systematic sample.
+* at resample steps, a **distributed systematic resampler**
+  (:func:`distributed_systematic_resample`): an exclusive scan of per-shard
+  weight sums (n_shards scalars) gives every shard its global count window
+  closed-form, and particles move between shards via a data-adaptive
+  ``ppermute`` ring -- the loop exits as soon as every shard has its
+  ancestors (one hop in the common near-uniform-weights case).  No shard
+  ever materialises the global ``[N, d]`` cloud, so multi-chip N is bounded
+  by *aggregate* HBM, not single-chip memory, and per-step ICI traffic is
+  O(local_n * d * hops_needed) instead of O(N * d).
 
 The global resampling positions use a *shared* uniform (same key on every
-shard), so the resampled system is identical to the single-device filter
-given the same global weight vector -- shard-count only changes which device
-holds which slice (and the propagation RNG streams, which are folded per
-shard).
+shard), so the resampled system is statistically identical to the
+single-device filter given the same global weight vector -- shard-count only
+changes which device holds which slice (and the propagation RNG streams,
+which are folded per shard).
 
-Design per SURVEY.md section 2.3 / 5.8; there is no reference equivalent
-(the reference is a single-JVM library).
+Summaries (``store='summary'``) compute exact global order statistics
+without gathering: a 32-round bit-bisection selection
+(:func:`_kth_smallest_sharded`) -- each round is one ``psum`` of a few
+counters -- returns credible-interval bounds bit-identical to sorting the
+gathered cloud.
+
+Design per SURVEY.md section 2.3 / 5.8 (option ii); there is no reference
+equivalent (the reference is a single-JVM library; resampling semantics
+match Resampling.scala:63-72).
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,23 +48,249 @@ from ..utils.data import TimeSeries
 from .mesh import PARTICLE_AXIS
 
 
+# ---------------------------------------------------------------------------
+# distributed systematic resampling (SURVEY 5.8 option ii)
+# ---------------------------------------------------------------------------
+
+
+def distributed_systematic_resample(x_local, w_local, key, axis: str,
+                                    sync_axes=None):
+    """Exact global systematic resampling, no all-gather of the particle
+    block.  Call inside ``shard_map`` on every shard of ``axis``.
+
+    Args:
+      x_local: [local_n, d] this shard's particle block (global slice
+        ``[idx*local_n, (idx+1)*local_n)``).
+      w_local: [local_n] this shard's unnormalised linear weights.
+      key: PRNG key, **identical on every shard** (the shared uniform).
+      axis: mesh axis name.
+      sync_axes: ALL mesh axes of the enclosing ``shard_map`` (default
+        ``(axis,)``).  The adaptive ring loop contains collectives, so its
+        trip count must agree across the whole mesh, not just ``axis`` --
+        e.g. chain-parallel PMMH must pass ``(CHAIN_AXIS, PARTICLE_AXIS)``
+        or rows that finish early abort the others' ppermute rendezvous.
+
+    Returns:
+      [local_n, d] -- global output slots ``[idx*local_n, (idx+1)*local_n)``
+      of the globally systematic sample (semantics of
+      ``resampling.systematic_indices`` / Resampling.scala:63-72).
+
+    Mechanics: per-shard weight sums are all-gathered (n_shards scalars),
+    the exclusive scan gives each shard its weight offset, and the global
+    cumulative position count at every local particle follows closed-form
+    (``clip(ceil(N*cdf - u), 0, N)`` -- the same search-free trick as the
+    single-device scheme).  Each shard therefore knows, locally, the
+    contiguous global output-slot window its particles parent:
+    ``[c_prev, counts[-1])`` where ``c_prev`` is the previous shard's last
+    count (exchanged as one int via ``ppermute``, so windows tile [0, N)
+    exactly, immune to float rounding).  Blocks then circulate a ring:
+    at hop r a shard holds shard (idx-r)'s block and fills any of its
+    output slots whose ancestor lives there; a ``psum`` of unfilled counts
+    ends the loop globally as soon as every slot is filled.
+    """
+    idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    local_n = w_local.shape[0]
+    n_total = local_n * n_shards
+    sync_axes = (axis,) if sync_axes is None else tuple(sync_axes)
+
+    # exclusive shard offsets from per-shard sums (scalars over ICI).
+    # use the scan's own total as the shard sum so offset + local cdf is
+    # consistent with the shard-level offsets on every shard.
+    local_cdf = jax.lax.associative_scan(jnp.add, w_local)       # [local_n]
+    s_all = jax.lax.all_gather(local_cdf[-1], axis)              # [n_shards]
+    total = jnp.sum(s_all)
+    shard_ids = jnp.arange(n_shards)
+    offset = jnp.sum(jnp.where(shard_ids < idx, s_all, 0.0))
+
+    u = jax.random.uniform(key, (), w_local.dtype)               # shared
+    cdf = (offset + local_cdf) / total
+    counts = jnp.clip(jnp.ceil(n_total * cdf - u), 0,
+                      n_total).astype(jnp.int32)
+    # close the global CDF at exactly N on the last shard (rounding guard,
+    # as the single-device scheme's counts[-1] = n)
+    is_last = idx == n_shards - 1
+    counts = jnp.where(
+        is_last & (jnp.arange(local_n) == local_n - 1), n_total, counts)
+
+    # previous shard's closing count = my window start; exchanging the int
+    # itself (not recomputing from float offsets) makes windows tile [0, N)
+    # exactly: c_prev[j+1] == counts[j][-1] bit-for-bit.
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    c_prev = jax.lax.ppermute(counts[-1], axis, fwd)
+    c_prev = jnp.where(idx == 0, 0, c_prev)
+
+    slots = idx * local_n + jnp.arange(local_n)                  # my outputs
+    out0 = jnp.zeros_like(x_local)
+    filled0 = jnp.zeros((local_n,), bool)
+
+    def fill(out, filled, xb, cb, cp):
+        """Take ancestors from the visiting block (window [cp, cb[-1]))."""
+        i = jnp.searchsorted(cb, slots, side="right")
+        valid = (slots >= cp) & (slots < cb[-1])
+        cand = xb[jnp.clip(i, 0, local_n - 1)]
+        out = jnp.where((valid & ~filled)[:, None], cand, out)
+        return out, filled | valid
+
+    out, filled = fill(out0, filled0, x_local, counts, c_prev)
+
+    def missing(filled):
+        return jax.lax.psum(jnp.sum(jnp.logical_not(filled)
+                                    .astype(jnp.int32)), sync_axes)
+
+    def cond(carry):
+        _, _, _, _, _, r, miss = carry
+        return (miss > 0) & (r < n_shards)
+
+    def body(carry):
+        out, filled, xb, cb, cp, r, _ = carry
+        xb = jax.lax.ppermute(xb, axis, fwd)
+        cb = jax.lax.ppermute(cb, axis, fwd)
+        cp = jax.lax.ppermute(cp, axis, fwd)
+        out, filled = fill(out, filled, xb, cb, cp)
+        return out, filled, xb, cb, cp, r + 1, missing(filled)
+
+    init = (out, filled, x_local, counts, c_prev,
+            jnp.asarray(1, jnp.int32), missing(filled))
+    out, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def _all_gather_systematic_resample(x_local, w_local, key, axis: str):
+    """Round-1 baseline: gather weights + particles, slice the global
+    sample.  Kept for cross-checking the distributed path; O(N*d) ICI
+    traffic and O(N) per-chip memory per step."""
+    from ..inference.resampling import _ancestors_from_counts
+
+    idx = jax.lax.axis_index(axis)
+    local_n = x_local.shape[0]
+    n_total = local_n * jax.lax.axis_size(axis)
+    w_all = jax.lax.all_gather(w_local, axis, tiled=True)        # [N]
+    x_all = jax.lax.all_gather(x_local, axis, tiled=True)        # [N, d]
+    cdf = jax.lax.associative_scan(jnp.add, w_all / jnp.sum(w_all))
+    u = jax.random.uniform(key, (), w_local.dtype)
+    counts = jnp.clip(jnp.ceil(n_total * cdf - u), 0,
+                      n_total).astype(jnp.int32)
+    counts = counts.at[-1].set(n_total)
+    anc = _ancestors_from_counts(counts, n_total)
+    local = jax.lax.dynamic_slice_in_dim(anc, idx * local_n, local_n)
+    return x_all[local]
+
+
+# ---------------------------------------------------------------------------
+# exact global order statistics without gathering
+# ---------------------------------------------------------------------------
+
+
+def _kth_smallest_sharded(vals, ks, axis: str):
+    """Exact k-th smallest of a sharded float32 array, per column.
+
+    ``vals`` [c, local_n] local slice of c columns; ``ks`` [c, q] 0-indexed
+    order statistics wanted per column.  Returns [c, q] values bit-identical
+    to ``sort(global_column)[k]``.
+
+    Bisection over the 32-bit sortable integer encoding of float32: each of
+    the 32 rounds psums a [c, q] block of strictly-less counts, so the whole
+    selection is 32 small ICI reductions -- no gather, no sort.
+    """
+    b = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.uint32)
+    sign = jnp.uint32(0x80000000)
+    keys = jnp.where((b & sign) != 0, ~b, b | sign)  # order-preserving
+
+    def body(i, lo):
+        cand = lo | (jnp.uint32(1) << (31 - i))
+        cnt = jnp.sum((keys[:, None, :] < cand[:, :, None])
+                      .astype(jnp.int32), axis=-1)               # [c, q]
+        cnt = jax.lax.psum(cnt, axis)
+        return jnp.where(cnt <= ks, cand, lo)
+
+    lo = jax.lax.fori_loop(0, 32, body,
+                           jnp.zeros(ks.shape, jnp.uint32))
+    back = jnp.where((lo & sign) != 0, lo ^ sign, ~lo)
+    return jax.lax.bitcast_convert_type(back, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# the sharded filter
+# ---------------------------------------------------------------------------
+
+
+def _make_save_fn_sharded(model: Model, store, interval: float,
+                          local_n: int, n_total: int, axis: str):
+    """Per-step save functions on the sharded cloud; keys are shared across
+    shards.  Mirrors filter._make_save_fn semantics exactly (PfOut,
+    ParticleFilter.scala:53-59 + getIntervals :415-424)."""
+    if store == "ll" or store is None:
+        return lambda t, x, k: ()
+    if store == "path":
+        def save(t, x, k):
+            idx = jax.lax.axis_index(axis)
+            j = jax.random.randint(k, (), 0, n_total)
+            mine = (j // local_n) == idx
+            v = jnp.where(mine, x[j % local_n], jnp.zeros_like(x[0]))
+            return jax.lax.psum(v, axis)
+        return save
+    if store == "summary":
+        k_os = math.floor(n_total * interval)
+
+        def save(t, x, k):
+            mean = jax.lax.psum(jnp.sum(x, axis=0), axis) / n_total
+            eta_mean = model.link(model.f(mean, t))
+            etas = model.link(model.f(x, t))                     # [local_n]
+            cols = jnp.concatenate([x.T, etas[None]], axis=0)    # [d+1, m]
+            d = x.shape[1]
+            ks = jnp.asarray(
+                [[n_total - k_os - 1, k_os - 1]] * d
+                + [[n_total - k_os, min(k_os, n_total - 1)]], jnp.int32)
+            sel = _kth_smallest_sharded(cols, ks, axis)          # [d+1, 2]
+            return (eta_mean, sel[d, 0], sel[d, 1],
+                    mean, sel[:d, 0], sel[:d, 1])
+        return save
+    if callable(store):
+        return store
+    raise ValueError(f"unknown store mode {store!r}")
+
+
 def _sharded_scan(model: Model, params: Tree, data: TimeSeries,
-                  local_n: int, key, axis: str):
-    """Filter body executed on each particle shard (inside shard_map)."""
+                  local_n: int, key, axis: str, *,
+                  x_init=None, t0=None, store="ll",
+                  ess_threshold: Optional[float] = None,
+                  interval: float = 0.975,
+                  resample_comm: str = "distributed",
+                  sync_axes=None):
+    """Filter body executed on each particle shard (inside shard_map).
+
+    Semantics match the single-device scan (filter._filter_impl): carried
+    globally-normalised weights, ``ll += max + log(total)``, ESS trigger,
+    missing-observation propagate-only.
+    """
     idx = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
     n_total = local_n * n_shards
+    save_fn = _make_save_fn_sharded(model, store, interval, local_n,
+                                    n_total, axis)
 
     k_init, k_scan = jax.random.split(key)
-    particles = model.initial_state(
-        params, jax.random.fold_in(k_init, idx), (local_n,))
+    if x_init is None:
+        particles = model.initial_state(
+            params, jax.random.fold_in(k_init, idx), (local_n,))
+    else:
+        x_init = jnp.asarray(x_init)
+        if x_init.ndim == 1:
+            # FilterInit: every particle starts at the supplied state
+            particles = jnp.broadcast_to(
+                x_init, (local_n,) + x_init.shape)
+        else:
+            particles = x_init   # already the local [local_n, d] block
     dtype = particles.dtype
+    wn0 = jnp.full((local_n,), 1.0 / n_total, dtype=dtype)
 
     def step(carry, inp):
-        x, t_prev, ll = carry
+        x, wn, t_prev, ll, ess = carry
         t, y, mask, k = inp
-        k_prop = jax.random.fold_in(k, idx)
-        k_sys, _ = jax.random.split(k)  # shared across shards
+        k_prop = jax.random.fold_in(jax.random.fold_in(k, 1), idx)
+        k_sys = jax.random.fold_in(k, 2)    # shared across shards
+        k_save = jax.random.fold_in(k, 3)   # shared across shards
 
         x1 = model.step(params, k_prop, x, t - t_prev)
 
@@ -60,69 +300,129 @@ def _sharded_scan(model: Model, params: Tree, data: TimeSeries,
         logw = jnp.where(mask, logw, 0.0)
 
         maxw = jax.lax.pmax(jnp.max(logw), axis)
-        w = jnp.exp(logw - maxw)
-        total = jax.lax.psum(jnp.sum(w), axis)
-        ll_inc = jnp.where(mask,
-                           maxw + jnp.log(total) - jnp.log(float(n_total)),
-                           0.0)
-        sumsq = jax.lax.psum(jnp.sum((w / total) ** 2), axis)
-        ess = jnp.floor(1.0 / sumsq).astype(jnp.int32)
+        u = wn * jnp.exp(logw - maxw)
+        total = jax.lax.psum(jnp.sum(u), axis)
+        ll_inc = jnp.where(mask, maxw + jnp.log(total), 0.0)
+        wn1 = u / total
+        sumsq = jax.lax.psum(jnp.sum(wn1 * wn1), axis)
+        ess1 = jnp.where(mask,
+                         jnp.floor(1.0 / sumsq).astype(jnp.int32), ess)
 
-        def do_resample(x1w):
-            from ..inference.resampling import _ancestors_from_counts
+        if ess_threshold is None:
+            do_resample = mask
+        else:
+            do_resample = mask & (ess1 < ess_threshold * n_total)
 
-            x1_, w_ = x1w
-            # global systematic resampling: gather weights + particles,
-            # each shard takes its own slice of the global sample
-            w_all = jax.lax.all_gather(w_, axis, tiled=True)      # [N]
-            x_all = jax.lax.all_gather(x1_, axis, tiled=True)     # [N, d]
-            cdf = jax.lax.associative_scan(jnp.add, w_all / total)
-            u = jax.random.uniform(k_sys, (), dtype)  # shared key -> same u
-            counts = jnp.clip(jnp.ceil(n_total * cdf - u), 0,
-                              n_total).astype(jnp.int32)
-            counts = counts.at[-1].set(n_total)
-            anc = _ancestors_from_counts(counts, n_total)
-            local = jax.lax.dynamic_slice_in_dim(anc, idx * local_n, local_n)
-            return x_all[local]
+        def yes(args):
+            x_, w_ = args
+            if resample_comm == "distributed":
+                x2 = distributed_systematic_resample(x_, w_, k_sys, axis,
+                                                     sync_axes=sync_axes)
+            else:
+                x2 = _all_gather_systematic_resample(x_, w_, k_sys, axis)
+            return x2, jnp.full((local_n,), 1.0 / n_total, dtype=dtype)
 
-        x2 = jax.lax.cond(mask, do_resample, lambda a: a[0], (x1, w))
+        x2, wn2 = jax.lax.cond(do_resample, yes, lambda a: a, (x1, wn1))
         ll1 = ll + ll_inc
-        return (x2, t, ll1), (ll1, ess)
+        out = (save_fn(t, x2, k_save), ll1, ess1)
+        return (x2, wn2, t, ll1, ess1), out
 
     keys = jax.random.split(k_scan, data.ts.shape[0])
-    init = (particles, data.ts[0], jnp.asarray(0.0, dtype))
-    (xf, _, ll), (ll_hist, ess_hist) = jax.lax.scan(
+    t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
+    init = (particles, wn0, t_start, jnp.asarray(0.0, dtype),
+            jnp.asarray(n_total, jnp.int32))
+    (xf, _, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
         step, init, (data.ts, data.ys, data.mask, keys))
-    return ll, ll_hist, ess_hist, xf
+    return ll, ll_hist, ess_hist, xf, saved
 
 
-@partial(jax.jit, static_argnames=("model", "n_particles", "mesh", "axis"))
-def _sharded_ll_impl(model, params, data, n_particles, key, mesh, axis):
+@partial(jax.jit, static_argnames=("model", "n_particles", "mesh", "axis",
+                                   "store", "ess_threshold", "interval",
+                                   "resample_comm", "init_is_cloud"))
+def _sharded_filter_impl(model, params, data, n_particles, key, x_init, t0,
+                         mesh, axis, store, ess_threshold, interval,
+                         resample_comm, init_is_cloud):
     n_shards = mesh.shape[axis]
     if n_particles % n_shards:
         raise ValueError(
             f"n_particles={n_particles} not divisible by {n_shards} shards")
     local_n = n_particles // n_shards
 
-    # replicate inputs; the body manages its own shard-local state
-    other_axes = tuple(a for a in mesh.axis_names if a != axis)
+    def body(p, d, k, t, xi):
+        return _sharded_scan(model, p, d, local_n, k, axis,
+                             x_init=xi, t0=t, store=store,
+                             ess_threshold=ess_threshold, interval=interval,
+                             resample_comm=resample_comm)
+
+    init_spec = P(axis) if init_is_cloud else P()
+    if x_init is None:
+        body_in = lambda p, d, k, t: body(p, d, k, t, None)
+        in_specs = (P(), P(), P(), P())
+        args = (params, data, key, t0)
+    else:
+        body_in = body
+        in_specs = (P(), P(), P(), P(), init_spec)
+        args = (params, data, key, t0, x_init)
+
     fn = shard_map(
-        lambda p, d, k: _sharded_scan(model, p, d, local_n, k, axis),
-        mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=(P(), P(), P(), P(axis)),
+        body_in, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P(), P(), P(axis), P()),
         check_vma=False,
     )
-    return fn(params, data, key)
+    return fn(*args)
+
+
+def sharded_bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
+                             n_particles: int, key, mesh: Mesh, *,
+                             axis: str = PARTICLE_AXIS,
+                             t0: Optional[float] = None,
+                             initial_state=None,
+                             store="summary",
+                             ess_threshold: Optional[float] = None,
+                             interval: float = 0.975,
+                             resample_comm: str = "distributed"):
+    """Multi-chip :func:`~..inference.filter.bootstrap_filter`: same API
+    surface and semantics, particle axis sharded over ``mesh[axis]``.
+
+    ``resample_comm``: 'distributed' (ppermute ring, default) or
+    'allgather' (round-1 baseline, for cross-checking).
+
+    Returns a :class:`~..inference.filter.FilterResult`; ``final_particles``
+    keeps its global sharding.
+    """
+    from ..inference.filter import FilterResult, PfSummary
+
+    model.validate_params(params)
+    if resample_comm not in ("distributed", "allgather"):
+        raise ValueError(
+            f"resample_comm={resample_comm!r}: 'distributed' or 'allgather'")
+    x_init = None if initial_state is None else jnp.asarray(initial_state)
+    init_is_cloud = x_init is not None and x_init.ndim == 2
+    t0v = data.ts[0] if t0 is None else jnp.asarray(t0, data.ts.dtype)
+    ll, ll_hist, ess_hist, xf, saved = _sharded_filter_impl(
+        model, params, data, n_particles, key, x_init, t0v, mesh, axis,
+        store, ess_threshold, interval, resample_comm, init_is_cloud)
+
+    summary = None
+    path = None
+    if store == "summary":
+        eta_mean, e_lo, e_hi, s_mean, s_lo, s_hi = saved
+        summary = PfSummary(data.ts, eta_mean, e_lo, e_hi,
+                            s_mean, s_lo, s_hi)
+    elif store == "path":
+        path = saved
+    return FilterResult(ll, ll_hist, ess_hist, xf, summary, path)
 
 
 def sharded_log_likelihood(model: Model, params: Tree, data: TimeSeries,
                            n_particles: int, key,
-                           mesh: Mesh, axis: str = PARTICLE_AXIS):
+                           mesh: Mesh, axis: str = PARTICLE_AXIS,
+                           resample_comm: str = "distributed"):
     """PF log marginal likelihood with the particle axis sharded over
     ``mesh[axis]``.  Returns ``(ll, ll_history, ess_history,
     final_particles)`` with final particles sharded on their global axis."""
-    model.validate_params(params)
-    ll, ll_hist, ess_hist, xf = _sharded_ll_impl(
-        model, params, data, n_particles, key, mesh, axis)
-    return ll, ll_hist, ess_hist, xf
+    res = sharded_bootstrap_filter(model, params, data, n_particles, key,
+                                   mesh, axis=axis, store="ll",
+                                   resample_comm=resample_comm)
+    return res.ll, res.ll_history, res.ess, res.final_particles

@@ -48,8 +48,12 @@ def _sharded_pmmh_impl(model: Model, params: Tree, data: TimeSeries,
         k = jax.random.fold_in(k, ci)  # independent chain streams
 
         def pf_ll(kk, p):
-            ll, _, _, _ = _sharded_scan(model, p, d, local_n, kk,
-                                        PARTICLE_AXIS)
+            # sync_axes: the adaptive resampling ring's trip count must
+            # agree across chain rows too (its ppermutes rendezvous
+            # mesh-wide), so the unfilled-count psum spans both axes
+            ll, _, _, _, _ = _sharded_scan(
+                model, p, d, local_n, kk, PARTICLE_AXIS,
+                sync_axes=(CHAIN_AXIS, PARTICLE_AXIS))
             return ll
 
         def mh_step(carry, kk):

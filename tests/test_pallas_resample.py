@@ -110,3 +110,34 @@ def test_filter_with_pallas_scheme_matches_systematic(key):
     np.testing.assert_allclose(res_p.ll, res_s.ll, rtol=1e-6)
     np.testing.assert_array_equal(res_p.final_particles,
                                   res_s.final_particles)
+
+
+def test_filter_pallas_ess_threshold_matches_systematic(key):
+    """With an ESS trigger, the transposed pallas path must carry weights
+    between steps exactly like the XLA path (round-1 defect: it assumed
+    uniform incoming weights, biasing ll on skipped resamples)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from composablestatespacemodels_tpu import (bootstrap_filter, linear,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 30)
+    data = sim.to_timeseries()
+    with pltpu.force_tpu_interpret_mode():
+        res_p = bootstrap_filter(model, params, data, 1024, key,
+                                 resample="systematic-pallas", store="ll",
+                                 ess_threshold=0.5)
+    res_s = bootstrap_filter(model, params, data, 1024, key,
+                             resample="systematic", store="ll",
+                             ess_threshold=0.5)
+    # the trigger must actually skip some resamples for this to test anything
+    assert int(jnp.max(res_s.ess)) > 512
+    np.testing.assert_allclose(res_p.ll, res_s.ll, rtol=1e-6)
+    np.testing.assert_array_equal(res_p.ess, res_s.ess)
+    np.testing.assert_array_equal(res_p.final_particles,
+                                  res_s.final_particles)

@@ -101,3 +101,219 @@ def test_sharded_pf_not_divisible_raises(lg_case, key):
     mesh = particle_mesh()
     with pytest.raises(ValueError):
         sharded_log_likelihood(model, params, data, 1000 + 3, key, mesh)
+
+
+# ---------------------------------------------------------------------------
+# distributed (no-all-gather) systematic resampling -- SURVEY 5.8 option ii
+# ---------------------------------------------------------------------------
+
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from composablestatespacemodels_tpu.inference.resampling import (
+    systematic_indices)
+from composablestatespacemodels_tpu.parallel import (
+    distributed_systematic_resample, sharded_bootstrap_filter)
+from composablestatespacemodels_tpu.parallel.sharded_filter import (
+    _kth_smallest_sharded)
+
+
+def _run_distributed(x, w, key, mesh):
+    fn = shard_map(
+        lambda xs, ws: distributed_systematic_resample(
+            xs, ws, key, PARTICLE_AXIS),
+        mesh=mesh,
+        in_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS)),
+        out_specs=P(PARTICLE_AXIS),
+        check_vma=False)
+    return fn(x, w)
+
+
+def _dyadic_weights(key, n, pow2_total=True):
+    """Weights that are exact in float32 under ANY summation order: small
+    integer multiples of 1/256, adjusted so the total is a power of two
+    (making the normalisation division exact too) -- any fp discrepancy
+    between the single-device scan and the shard-hierarchical scan would
+    change the counts, so the bit-exact comparisons below are meaningful."""
+    ints = jax.random.randint(key, (n,), 1, 255)
+    target = 1 << (int(np.ceil(np.log2(n * 128))))
+    ints = ints.at[-1].add(target - jnp.sum(ints))
+    assert int(jnp.sum(ints)) == target and int(jnp.min(ints)) > 0
+    return ints.astype(jnp.float32) / 256.0
+
+
+def test_distributed_resample_bit_exact_vs_single_device(key):
+    mesh = particle_mesh()
+    n, d = 1024, 3
+    w = _dyadic_weights(key, n)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (n, d))
+    got = _run_distributed(x, w, key, mesh)
+    want = x[systematic_indices(key, w)]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_distributed_resample_degenerate_multi_hop(key):
+    """All offspring concentrated on one shard forces the ppermute ring to
+    run multiple hops; every placement must still match single-device."""
+    mesh = particle_mesh()
+    n, d = 512, 2
+    x = jax.random.normal(key, (n, d))
+    for j in [0, 5, n // 2 + 3, n - 1]:   # incl. first and last shard
+        w = jnp.zeros((n,), jnp.float32).at[j].set(1.0)
+        got = _run_distributed(x, w, key, mesh)
+        want = x[systematic_indices(key, w)]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # two owners on distant shards
+    w = jnp.zeros((n,), jnp.float32).at[3].set(0.5).at[n - 7].set(0.5)
+    got = _run_distributed(x, w, key, mesh)
+    want = x[systematic_indices(key, w)]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_distributed_resample_uniform_weights_is_identity(key):
+    """Uniform weights + systematic resampling keep every particle once;
+    the common fast case should finish on the first hop (all local)."""
+    mesh = particle_mesh()
+    n, d = 256, 4
+    x = jax.random.normal(key, (n, d))
+    w = jnp.full((n,), 1.0 / n)
+    got = _run_distributed(x, w, key, mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(x))
+
+
+def test_no_particle_all_gather_in_distributed_hot_path(lg_case, key):
+    """The compiled distributed filter must contain no all-gather of the
+    [N, d] particle block: the only all-gather operand allowed is the
+    [n_shards] vector of per-shard weight sums."""
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    from composablestatespacemodels_tpu.parallel.sharded_filter import (
+        _sharded_filter_impl)
+    n = 2048
+    t0v = data.ts[0]
+    lowered = _sharded_filter_impl.lower(
+        model, params, data, n, key, None, t0v, mesh, PARTICLE_AXIS,
+        "ll", None, 0.975, "distributed", False)
+    hlo = lowered.as_text()
+    import re
+    for m in re.finditer(r'"?all-gather"?[^\n]*', hlo):
+        line = m.group(0)
+        # operand shapes appear as f32[<elems>] on the all-gather line;
+        # anything particle-sized means the cloud is being gathered
+        for shape in re.findall(r"f32\[([0-9,]+)\]", line):
+            elems = int(np.prod([int(s) for s in shape.split(",")]))
+            assert elems <= 64, f"particle-sized all-gather found: {line}"
+
+
+def test_kth_smallest_sharded_matches_sort(key):
+    mesh = particle_mesh()
+    c, n = 5, 2048
+    vals = jax.random.normal(key, (c, n)) * 10.0   # includes negatives
+    ks = jax.random.randint(jax.random.fold_in(key, 1), (c, 2), 0, n)
+    fn = shard_map(
+        lambda v, k: _kth_smallest_sharded(v, k, PARTICLE_AXIS),
+        mesh=mesh,
+        in_specs=(P(None, PARTICLE_AXIS), P()),
+        out_specs=P(),
+        check_vma=False)
+    got = fn(vals, ks)
+    srt = np.sort(np.asarray(vals), axis=1)
+    want = np.take_along_axis(srt, np.asarray(ks), axis=1)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+# ---------------------------------------------------------------------------
+# sharded filter feature parity with the single-device API
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_filter_store_summary_matches_single_device(lg_case, key):
+    """Sharded summaries (distributed order statistics) vs the single-device
+    sort-based summaries: same model/data, independent RNG -> statistical
+    agreement of the filtering means and interval widths."""
+    from composablestatespacemodels_tpu import bootstrap_filter
+
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    n = 4096
+    res_s = bootstrap_filter(model, params, data, n, key, store="summary")
+    res_m = bootstrap_filter(model, params, data, n,
+                             jax.random.fold_in(key, 1), store="summary",
+                             mesh=mesh)
+    assert res_m.summary is not None
+    a, b = res_s.summary, res_m.summary
+    np.testing.assert_allclose(np.asarray(a.state_mean),
+                               np.asarray(b.state_mean), atol=0.12)
+    np.testing.assert_allclose(np.asarray(a.eta_mean),
+                               np.asarray(b.eta_mean), atol=0.12)
+    # interval bounds bracket the mean and agree statistically
+    assert bool((b.state_lower <= b.state_mean).all())
+    assert bool((b.state_mean <= b.state_upper).all())
+    np.testing.assert_allclose(np.asarray(a.state_upper),
+                               np.asarray(b.state_upper), atol=0.3)
+    np.testing.assert_allclose(np.asarray(a.state_lower),
+                               np.asarray(b.state_lower), atol=0.3)
+
+
+def test_sharded_filter_store_path_and_initial_state(lg_case, key):
+    from composablestatespacemodels_tpu import bootstrap_filter
+
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    T = data.ts.shape[0]
+    # FilterInit: fixed [d] start (ParticleFilter.scala:252-271)
+    res = bootstrap_filter(model, params, data, 512, key, store="path",
+                           initial_state=jnp.asarray([0.3]), mesh=mesh)
+    assert res.sampled_path.shape == (T, 1)
+    assert bool(jnp.isfinite(res.sampled_path).all())
+    assert bool(jnp.isfinite(res.ll))
+    # full [N, d] initial cloud, sharded over the mesh
+    cloud = jax.random.normal(key, (512, 1)) * 0.1
+    res2 = bootstrap_filter(model, params, data, 512, key, store="ll",
+                            initial_state=cloud, mesh=mesh)
+    assert bool(jnp.isfinite(res2.ll))
+
+
+def test_sharded_filter_ess_threshold(lg_case, key):
+    from composablestatespacemodels_tpu import bootstrap_filter
+
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    n = 2048
+    res = bootstrap_filter(model, params, data, n, key, store="ll",
+                           ess_threshold=0.5, mesh=mesh)
+    res_always = bootstrap_filter(model, params, data, n,
+                                  jax.random.fold_in(key, 1), store="ll",
+                                  mesh=mesh)
+    # the trigger must actually skip resamples, and the ll stays unbiased
+    assert int(jnp.max(res.ess)) > n // 2
+    assert abs(float(res.ll) - float(res_always.ll)) < 3.0
+    # single-device with the same trigger agrees statistically
+    res_1dev = bootstrap_filter(model, params, data, n,
+                                jax.random.fold_in(key, 2), store="ll",
+                                ess_threshold=0.5)
+    assert abs(float(res.ll) - float(res_1dev.ll)) < 3.0
+
+
+def test_sharded_distributed_matches_allgather(lg_case, key):
+    """The distributed ring resampler and the round-1 all-gather baseline
+    implement the same global systematic scheme."""
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    lls_d = [float(sharded_log_likelihood(
+        model, params, data, 1024, jax.random.fold_in(key, i), mesh,
+        resample_comm="distributed")[0]) for i in range(4)]
+    lls_a = [float(sharded_log_likelihood(
+        model, params, data, 1024, jax.random.fold_in(key, 10 + i), mesh,
+        resample_comm="allgather")[0]) for i in range(4)]
+    assert abs(np.mean(lls_d) - np.mean(lls_a)) < 2.0
+
+
+def test_mesh_front_door_requires_systematic(lg_case, key):
+    from composablestatespacemodels_tpu import bootstrap_filter
+
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    with pytest.raises(ValueError, match="systematic"):
+        bootstrap_filter(model, params, data, 512, key,
+                         resample="stratified", mesh=mesh)
