@@ -4,18 +4,19 @@ bootstrap particle filter (BASELINE.md north-star config).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``vs_baseline`` compares against an *estimated* throughput of the Scala/Akka
-reference, which publishes no numbers (BASELINE.md: "published": {}).  The
-estimate -- 2e6 particle-steps/s -- is deliberately generous to the JVM: the
-reference's hot loop allocates a boxed state tree and draws per-dimension
-Gaussians through breeze per particle per step on one thread
-(ParticleFilter.scala:116-132, Sde.scala:142-150); microbenchmarks of
-equivalent JVM code land at 0.5-2e6 composed-state steps/s.  The north-star
-target is vs_baseline > 50.
+``vs_baseline`` divides by a **measured** baseline: the reference publishes
+no numbers and no JVM exists in this image, so ``baseline_numpy.py`` -- a
+semantics-faithful single-thread NumPy port of the reference hot loop
+(ParticleFilter.scala:116-132, Sde.scala:142-150, Resampling.scala:63-72) --
+was measured at 1.31e6 particle-steps/s on this image's CPU (BASELINE.md,
+2026-08-16).  Vectorised NumPy is generous to the JVM's boxed per-particle
+loop, so the reported speedup is a lower bound.  North-star target:
+vs_baseline > 50.
 
 Usage:
   python bench.py            # full: N=1e6, T=1000 on the default device
   python bench.py --smoke    # tiny shapes, CI-friendly
+  python bench.py --pmmh     # also record PMMH iterations/sec
 """
 
 import argparse
@@ -30,8 +31,9 @@ import composablestatespacemodels_tpu as cssm
 from composablestatespacemodels_tpu.models import (branch, leaf, ou_params,
                                                    param_node)
 
-# Estimated Scala/Akka reference throughput (see module docstring).
-SCALA_BASELINE_PARTICLE_STEPS_PER_SEC = 2.0e6
+# Measured single-thread NumPy port of the reference hot loop
+# (baseline_numpy.py on this image, best of 3; see BASELINE.md).
+BASELINE_PARTICLE_STEPS_PER_SEC = 1.31e6
 
 
 def flagship_model():
@@ -82,11 +84,11 @@ def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
     return n_particles * n_steps / median
 
 
-def bench_pmmh(n_particles: int = 1024, n_obs: int = 250,
-               n_iters: int = 200) -> float:
-    """Secondary metric (stderr only): PMMH iterations/sec -- one full PF
-    sweep per iteration (the reference's DeterminePosterior hot loop,
-    DetermineParameters.scala:55-85)."""
+def bench_pmmh(n_particles: int = 100, n_obs: int = 400,
+               n_iters: int = 500) -> float:
+    """Secondary recorded metric: PMMH iterations/sec -- one full PF sweep
+    per iteration at reference-like shapes (the DeterminePosterior hot
+    loop: 100 particles, DetermineParameters.scala:55-85)."""
     from composablestatespacemodels_tpu.models import perturb
 
     model, params = flagship_model()
@@ -130,16 +132,17 @@ def main():
     t = args.steps or t
 
     throughput = run(n, t)
-    if args.pmmh:
-        bench_pmmh()
-    print(json.dumps({
+    result = {
         "metric": f"particle-steps/sec at N={n:.0e} "
                   "(composed seasonal-Poisson PF)",
         "value": round(throughput),
         "unit": "particle-steps/s",
         "vs_baseline": round(
-            throughput / SCALA_BASELINE_PARTICLE_STEPS_PER_SEC, 2),
-    }))
+            throughput / BASELINE_PARTICLE_STEPS_PER_SEC, 2),
+    }
+    if args.pmmh or not args.smoke:
+        result["pmmh_iters_per_sec"] = round(bench_pmmh(), 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
