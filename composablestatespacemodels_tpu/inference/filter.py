@@ -196,6 +196,9 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
 
     dtype = x_t.dtype
     n = n_particles
+    # measured on a v5e at N=2^20: block=2048 1.91 ms/step, 1024 2.00,
+    # 512 2.43, 4096 2.19
+    kblock = 2048 if n % 2048 == 0 else 1024
 
     def step(carry, inp):
         x_t, wn, t_prev, ll, ess = carry
@@ -230,7 +233,7 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
             if d_pad:
                 xp = jnp.concatenate(
                     [xp, jnp.zeros((d_pad, n), dtype)], axis=0)
-            out = sorted_gather_resample_t(xp, counts)
+            out = sorted_gather_resample_t(xp, counts, block=kblock)
             out = out[:d] if d_pad else out
             return out, jnp.full((n,), 1.0 / n, dtype=dtype)
 

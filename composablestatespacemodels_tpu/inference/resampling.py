@@ -24,10 +24,40 @@ def _normalise(w):
 
 
 def _cumsum(w):
-    """Prefix sum via ``associative_scan``: XLA's ``cumsum`` lowering on TPU
-    is ~14x slower at N=1e6 (reduce-window based); the log-depth scan is
-    ~1 ms."""
+    """Prefix sum, the single shared implementation for every resampling
+    path (the Pallas filter path is bit-compared against the XLA path, so
+    both must see identical cdf bits).
+
+    On TPU this is a Pallas MXU kernel (:mod:`..ops.scan_kernel`):
+    XLA's ``associative_scan`` costs ~1.65 ms at N=2^20 f32 on a v5e
+    (its ``cumsum`` lowering another ~14x worse), the blocked matmul
+    prefix ~0.05 ms.  Elsewhere (CPU tests, interpret mode, f64) the
+    log-depth ``associative_scan``.
+    """
+    if (jax.default_backend() == "tpu" and w.ndim == 1
+            and w.dtype == jnp.float32):
+        from ..ops.scan_kernel import prefix_sum
+        return prefix_sum(w)
     return jax.lax.associative_scan(jnp.add, w)
+
+
+def _monotone_counts(counts):
+    """Exact running max over int32 cumulative position counts.
+
+    The f32 cdf from a tree-structured prefix sum can *dip by a ulp*
+    between adjacent entries (different rounding groupings), so
+    ``ceil(n*cdf - u)`` occasionally decreases by 1 -- observed on a real
+    v5e at N=2^17 with heavy-tailed weights.  Downstream consumers
+    (ancestor construction, the Pallas merge kernel's block spans, the
+    distributed resampler's windows) all assume nondecreasing counts, so
+    every count-based scheme monotonises here.  int32 max is exact, so this
+    is the true sequential cummax on every backend.
+    """
+    if (jax.default_backend() == "tpu" and counts.ndim == 1
+            and counts.dtype == jnp.int32):
+        from ..ops.scan_kernel import cummax_int32
+        return cummax_int32(counts)
+    return jax.lax.associative_scan(jnp.maximum, counts)
 
 
 def _lookup(cdf, positions):
@@ -74,7 +104,7 @@ def systematic_indices(key, weights, n: int | None = None):
     u = jax.random.uniform(key, (), weights.dtype)
     counts = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
     counts = counts.at[-1].set(n)  # guard against cdf[-1] < 1 rounding
-    return _ancestors_from_counts(counts, n)
+    return _ancestors_from_counts(_monotone_counts(counts), n)
 
 
 def stratified_indices(key, weights, n: int | None = None):
@@ -94,7 +124,7 @@ def stratified_indices(key, weights, n: int | None = None):
     extra = (u[k_safe] < (v - k)).astype(jnp.int32)
     counts = jnp.clip(jnp.where(k >= n, n, k + extra), 0, n)
     counts = counts.at[-1].set(n)
-    return _ancestors_from_counts(counts, n)
+    return _ancestors_from_counts(_monotone_counts(counts), n)
 
 
 def multinomial_indices(key, weights, n: int | None = None):

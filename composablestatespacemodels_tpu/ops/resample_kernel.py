@@ -82,17 +82,34 @@ def _merge_kernel(first_ref, last_ref, base_ref,
     def serve(c_at, x_at, prev_cmax):
         cmax = c_at[_LANE - 1, n_chunks - 1]
 
-        # block-local ancestor = #entries <= q: lane-oriented count.
-        # chunk m's 128 entries sit in column m -> [128, 1] against [1, B].
-        anc = jnp.zeros((1, block), jnp.int32)
+        # block-local ancestor = #entries <= q, two-level (counts are sorted
+        # within and across the packed columns):
+        #   level 1 -- boundary chunk h = #chunk-maxima <= q, from n_chunks
+        #   scalar VMEM loads broadcast against the lane-oriented q row
+        #   (chunk m's max is its last sublane, row 127 of column m);
+        #   level 2 -- gather chunk h's 128-entry column per slot and count
+        #   entries <= q inside it.  Chunks below h contribute all 128
+        #   entries, chunks above h none, so hi == h and lo == inner count
+        #   directly (chunk h's max is > q, hence inner <= 127).  This does
+        #   ONE [128, B] compare instead of n_chunks of them.
+        h = jnp.zeros((1, block), jnp.int32)
         for m in range(n_chunks):
-            anc = anc + jnp.sum(
-                (c_at[:, m:m + 1] <= q_row).astype(jnp.int32), axis=0,
-                keepdims=True)                                    # [1, B]
+            h = h + (c_at[_LANE - 1, m] <= q_row).astype(jnp.int32)
+        hi = jnp.minimum(h, n_chunks - 1)                         # [1, B]
+
+        hi_sel = jnp.broadcast_to(hi, (_LANE, block))
+        pieces = []
+        for j in range(n_chunks):
+            sl = slice(j * _LANE, (j + 1) * _LANE)
+            csel = jnp.take_along_axis(c_at[:, :_LANE], hi_sel[:, sl],
+                                       axis=1)                    # [128, 128]
+            pieces.append(jnp.sum(
+                (csel <= q_row[:, sl]).astype(jnp.int32), axis=0,
+                keepdims=True))
+        lo1 = pieces[0] if n_chunks == 1 else jnp.concatenate(pieces, axis=1)
 
         active = (q_row >= prev_cmax) & (q_row < cmax)            # [1, B]
-        hi = anc // _LANE                                         # [1, B]
-        lo = jnp.broadcast_to(anc % _LANE, (d, block))            # [d, B]
+        lo = jnp.broadcast_to(lo1, (d, block))                    # [d, B]
         hi_b = jnp.broadcast_to(hi, (d, block))
         act_b = jnp.broadcast_to(active, (d, block))
 
@@ -193,8 +210,8 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
                 lambda g, first, last, base:
                     (0, jnp.minimum(first[g] + 1, first.shape[0] - 1))),
             # raw refs for the rare manual path
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (d, block), lambda g, first, last, base: (0, g)),
@@ -234,27 +251,34 @@ def sorted_gather_resample(x, counts, block: int = 1024,
 
 
 def systematic_counts(key, weights):
-    """Closed-form cumulative position counts for systematic resampling."""
+    """Closed-form cumulative position counts for systematic resampling.
+
+    Shares ``_cumsum`` (Pallas MXU prefix on TPU) and the monotone guard
+    with :func:`..inference.resampling.systematic_indices` so the two
+    paths stay bit-identical per backend.
+    """
+    from ..inference import resampling as rs
+
     n = weights.shape[0]
-    wn = weights / jnp.sum(weights)
-    cdf = jax.lax.associative_scan(jnp.add, wn)
+    cdf = rs._cumsum(rs._normalise(weights))
     u = jax.random.uniform(key, (), weights.dtype)
     counts = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
-    return counts.at[-1].set(n)
+    return rs._monotone_counts(counts.at[-1].set(n))
 
 
 def stratified_counts(key, weights):
     """Closed-form cumulative position counts for stratified resampling."""
+    from ..inference import resampling as rs
+
     n = weights.shape[0]
-    wn = weights / jnp.sum(weights)
-    cdf = jax.lax.associative_scan(jnp.add, wn)
+    cdf = rs._cumsum(rs._normalise(weights))
     u = jax.random.uniform(key, (n,), weights.dtype)
     v = n * cdf
     k = jnp.floor(v).astype(jnp.int32)
     k_safe = jnp.clip(k, 0, n - 1)
     extra = (u[k_safe] < (v - k)).astype(jnp.int32)
     counts = jnp.clip(jnp.where(k >= n, n, k + extra), 0, n)
-    return counts.at[-1].set(n)
+    return rs._monotone_counts(counts.at[-1].set(n))
 
 
 def systematic_resample_pallas(key, x, weights, block: int = 1024,

@@ -112,6 +112,11 @@ def distributed_systematic_resample(x_local, w_local, key, axis: str,
     is_last = idx == n_shards - 1
     counts = jnp.where(
         is_last & (jnp.arange(local_n) == local_n - 1), n_total, counts)
+    # tree-structured f32 prefix sums can dip by a ulp, producing locally
+    # DECREASING counts (observed on a real v5e with heavy-tailed weights);
+    # fill()'s searchsorted and the window logic assume sorted counts
+    from ..inference.resampling import _monotone_counts
+    counts = _monotone_counts(counts)
 
     # previous shard's closing count = my window start; exchanging the int
     # itself (not recomputing from float offsets) makes windows tile [0, N)

@@ -141,3 +141,64 @@ def test_filter_pallas_ess_threshold_matches_systematic(key):
     np.testing.assert_array_equal(res_p.ess, res_s.ess)
     np.testing.assert_array_equal(res_p.final_particles,
                                   res_s.final_particles)
+
+
+def test_heavy_tail_multiblock_spans(key):
+    """Heavy-tailed weights produce output blocks whose ancestors span 3+
+    input blocks (the in-kernel manual-DMA fallback) -- the regime a real-TPU
+    verify run caught a two-level-counting bug in."""
+    n = 8192
+    # six parents scattered over input blocks 0..5 share output block 0's
+    # slots; one heavy parent in input block 7 owns the rest
+    w = jnp.zeros((n,))
+    for i in range(6):
+        w = w.at[i * 1024 + 100].set(1.0 / 6)
+    w = w.at[7 * 1024 + 100].set(7.0)
+    counts = systematic_counts(key, w)
+    # require the case we claim to test: some output block spanning >= 3
+    # input blocks
+    blockmax = np.asarray(counts).reshape(-1, 1024)[:, -1]
+    spans = [int(np.sum(blockmax <= g * 1024 + 1023))
+             - int(np.sum(blockmax <= g * 1024)) for g in range(n // 1024)]
+    assert max(spans) >= 3, f"fixture too tame: spans={spans}"
+    x = jax.random.normal(key, (n, 7))
+    got = sorted_gather_resample(x, counts, block=1024, interpret=True)
+    np.testing.assert_array_equal(got, _ref(x, counts))
+
+
+def test_prefix_sum_kernel(key):
+    """MXU blocked prefix sum matches associative_scan to f32 tolerance."""
+    from composablestatespacemodels_tpu.ops.scan_kernel import prefix_sum
+
+    for n in (1024, 4096, 100_000):
+        w = jax.random.uniform(jax.random.fold_in(key, n), (n,))
+        got = prefix_sum(w, interpret=True)
+        want = jax.lax.associative_scan(jnp.add, w)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+        # exact on integers (no rounding): bit-determinism sanity
+        wi = jnp.round(w * 7)
+        np.testing.assert_array_equal(prefix_sum(wi, interpret=True),
+                                      jax.lax.associative_scan(jnp.add, wi))
+
+
+def test_cummax_kernel(key):
+    from composablestatespacemodels_tpu.ops.scan_kernel import cummax_int32
+
+    for n in (1024, 5000, 40_000):
+        c = jax.random.randint(jax.random.fold_in(key, n), (n,), 0, 1000)
+        got = cummax_int32(c, interpret=True)
+        want = jax.lax.associative_scan(jnp.maximum, c.astype(jnp.int32))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_counts_are_monotone_after_guard(key):
+    """ceil(n*cdf - u) can dip by 1 where the tree-structured f32 prefix sum
+    rounds non-monotonically (observed on a real v5e with heavy-tailed
+    weights); the shared monotone guard must remove every dip."""
+    n = 1 << 15
+    w = jax.random.exponential(key, (n,)) ** 4
+    counts = np.asarray(systematic_counts(key, w))
+    assert (np.diff(counts) >= 0).all()
+    assert counts[-1] == n
+    counts_s = np.asarray(stratified_counts(key, w))
+    assert (np.diff(counts_s) >= 0).all()
