@@ -48,12 +48,14 @@ def flagship_model():
 def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
     model, params = flagship_model()
     on_tpu = jax.default_backend() == "tpu"
-    # rbg (XLA RngBitGenerator) keys: counter-based like threefry but
-    # hardware-accelerated -- the propagate step is dominated by drawing
-    # [d, N] normals, and rbg shaves ~0.35 ms/step at N=2^20 on a v5e.
-    key = jax.random.key(0, impl="rbg" if on_tpu else "threefry2x32")
+    # rbg (XLA RngBitGenerator) keys for the timed filter runs:
+    # counter-based like threefry but hardware-accelerated -- the propagate
+    # step is dominated by drawing [d, N] normals.  Simulation keeps
+    # threefry (jax.random.poisson supports only threefry).
+    sim_key = jax.random.PRNGKey(0)
+    key = jax.random.key(0, impl="rbg") if on_tpu else sim_key
 
-    sim = cssm.simulate_regular(model, params, key, n_steps, dt=1.0)
+    sim = cssm.simulate_regular(model, params, sim_key, n_steps, dt=1.0)
     data = sim.to_timeseries()
     print(f"simulated T={n_steps} composed seasonal-Poisson series "
           f"(d={model.dim}) on {jax.devices()[0].platform}", file=sys.stderr)
@@ -71,19 +73,20 @@ def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
     # compile + warm up (also flushes any async dispatch weirdness in the
     # remote-TPU tunnel, whose block_until_ready can return early once)
     t0 = time.perf_counter()
-    ll(key).block_until_ready()
-    ll(jax.random.fold_in(key, 999)).block_until_ready()
+    float(ll(key))
+    float(ll(jax.random.fold_in(key, 999)))
     print(f"compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(repeats):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        out = ll(k)
-        out.block_until_ready()
+        # force a scalar host readback: block_until_ready over the tunnel
+        # can return early (CLAUDE.md), float() cannot
+        v = float(ll(k))
         dt = time.perf_counter() - t0
         times.append(dt)
-        print(f"run {i}: {dt:.3f}s  ll={float(out):.1f}", file=sys.stderr)
+        print(f"run {i}: {dt:.3f}s  ll={v:.1f}", file=sys.stderr)
     times.sort()
     median = times[len(times) // 2]
     return n_particles * n_steps / median
