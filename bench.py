@@ -92,6 +92,38 @@ def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
     return n_particles * n_steps / median
 
 
+def bench_sharded(n_particles: int, n_steps: int = 200) -> float:
+    """Secondary metric: the multi-chip filter path (transposed sharded scan,
+    distributed ppermute resampling, Pallas local fill) on a mesh over the
+    available devices -- on this image that is one chip, so the number
+    measures the distributed machinery's overhead at n_shards=1; on a pod
+    slice the same code scales N with aggregate HBM."""
+    from composablestatespacemodels_tpu.parallel import particle_mesh
+
+    model, params = flagship_model()
+    sim_key = jax.random.PRNGKey(0)
+    key = (jax.random.key(0, impl="rbg")
+           if jax.default_backend() == "tpu" else sim_key)
+    sim = cssm.simulate_regular(model, params, sim_key, n_steps, dt=1.0)
+    data = sim.to_timeseries()
+    mesh = particle_mesh()
+
+    def ll(k):
+        return cssm.bootstrap_filter(model, params, data, n_particles, k,
+                                     mesh=mesh, store="ll").ll
+
+    float(ll(key))
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        float(ll(jax.random.fold_in(key, i)))
+        best = min(best, time.perf_counter() - t0)
+    rate = n_particles * n_steps / best
+    print(f"sharded filter ({mesh.devices.size} device(s)): "
+          f"{rate:.3e} particle-steps/s", file=sys.stderr)
+    return rate
+
+
 def bench_pmmh(n_particles: int = 100, n_obs: int = 400,
                n_iters: int = 500) -> float:
     """Secondary recorded metric: PMMH iterations/sec -- one full PF sweep
@@ -150,6 +182,7 @@ def main():
     }
     if args.pmmh or not args.smoke:
         result["pmmh_iters_per_sec"] = round(bench_pmmh(), 1)
+        result["sharded_particle_steps_per_sec"] = round(bench_sharded(n))
     print(json.dumps(result))
 
 

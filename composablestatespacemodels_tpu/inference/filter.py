@@ -361,7 +361,7 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
                      store="summary",
                      ess_threshold: Optional[float] = None,
                      interval: float = 0.975,
-                     mesh=None) -> FilterResult:
+                     mesh=None, **mesh_kwargs) -> FilterResult:
     """Run the bootstrap particle filter over a time series.
 
     Args:
@@ -398,7 +398,11 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
         return sharded_bootstrap_filter(
             model, params, data, n_particles, key, mesh, t0=t0,
             initial_state=initial_state, store=store,
-            ess_threshold=ess_threshold, interval=interval)
+            ess_threshold=ess_threshold, interval=interval, **mesh_kwargs)
+    if mesh_kwargs:
+        raise TypeError(
+            f"unexpected arguments {sorted(mesh_kwargs)} (only valid with "
+            "mesh=)")
     model.validate_params(params)
     return _filter_impl(model=model, params=params, data=data,
                         n_particles=n_particles, key=key, t0=t0,

@@ -1,11 +1,16 @@
 from .mesh import CHAIN_AXIS, PARTICLE_AXIS, make_mesh, particle_mesh
+from .multihost import (hybrid_mesh, initialize_distributed,
+                        replicate_to_mesh, shard_particles_to_mesh)
 from .sharded_filter import (distributed_systematic_resample,
+                             distributed_systematic_resample_t,
                              sharded_bootstrap_filter,
                              sharded_log_likelihood)
 from .sharded_pmmh import sharded_pmmh
 
 __all__ = [
-    "make_mesh", "particle_mesh", "CHAIN_AXIS", "PARTICLE_AXIS",
-    "distributed_systematic_resample", "sharded_bootstrap_filter",
+    "make_mesh", "particle_mesh", "hybrid_mesh", "CHAIN_AXIS",
+    "PARTICLE_AXIS", "initialize_distributed", "replicate_to_mesh",
+    "shard_particles_to_mesh", "distributed_systematic_resample",
+    "distributed_systematic_resample_t", "sharded_bootstrap_filter",
     "sharded_log_likelihood", "sharded_pmmh",
 ]

@@ -91,39 +91,10 @@ def distributed_systematic_resample(x_local, w_local, key, axis: str,
     idx = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
     local_n = w_local.shape[0]
-    n_total = local_n * n_shards
     sync_axes = (axis,) if sync_axes is None else tuple(sync_axes)
 
-    # exclusive shard offsets from per-shard sums (scalars over ICI).
-    # use the scan's own total as the shard sum so offset + local cdf is
-    # consistent with the shard-level offsets on every shard.
-    local_cdf = jax.lax.associative_scan(jnp.add, w_local)       # [local_n]
-    s_all = jax.lax.all_gather(local_cdf[-1], axis)              # [n_shards]
-    total = jnp.sum(s_all)
-    shard_ids = jnp.arange(n_shards)
-    offset = jnp.sum(jnp.where(shard_ids < idx, s_all, 0.0))
-
-    u = jax.random.uniform(key, (), w_local.dtype)               # shared
-    cdf = (offset + local_cdf) / total
-    counts = jnp.clip(jnp.ceil(n_total * cdf - u), 0,
-                      n_total).astype(jnp.int32)
-    # close the global CDF at exactly N on the last shard (rounding guard,
-    # as the single-device scheme's counts[-1] = n)
-    is_last = idx == n_shards - 1
-    counts = jnp.where(
-        is_last & (jnp.arange(local_n) == local_n - 1), n_total, counts)
-    # tree-structured f32 prefix sums can dip by a ulp, producing locally
-    # DECREASING counts (observed on a real v5e with heavy-tailed weights);
-    # fill()'s searchsorted and the window logic assume sorted counts
-    from ..inference.resampling import _monotone_counts
-    counts = _monotone_counts(counts)
-
-    # previous shard's closing count = my window start; exchanging the int
-    # itself (not recomputing from float offsets) makes windows tile [0, N)
-    # exactly: c_prev[j+1] == counts[j][-1] bit-for-bit.
+    counts, c_prev = _systematic_window_counts(w_local, key, axis)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    c_prev = jax.lax.ppermute(counts[-1], axis, fwd)
-    c_prev = jnp.where(idx == 0, 0, c_prev)
 
     slots = idx * local_n + jnp.arange(local_n)                  # my outputs
     out0 = jnp.zeros_like(x_local)
@@ -159,6 +130,131 @@ def distributed_systematic_resample(x_local, w_local, key, axis: str,
             jnp.asarray(1, jnp.int32), missing(filled))
     out, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return out
+
+
+def _systematic_window_counts(w_local, key, axis: str):
+    """Shared window machinery of the distributed systematic resampler.
+
+    Returns ``(counts, c_prev)``: this shard's global cumulative position
+    counts (monotonised int32, window ``[c_prev, counts[-1])``) and the
+    previous shard's closing count (exchanged as an int so windows tile
+    ``[0, N)`` exactly).  See :func:`distributed_systematic_resample`.
+    """
+    from ..inference.resampling import _cumsum, _monotone_counts
+
+    idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    local_n = w_local.shape[0]
+    n_total = local_n * n_shards
+
+    local_cdf = _cumsum(w_local)                                 # [local_n]
+    s_all = jax.lax.all_gather(local_cdf[-1], axis)              # [n_shards]
+    total = jnp.sum(s_all)
+    shard_ids = jnp.arange(n_shards)
+    offset = jnp.sum(jnp.where(shard_ids < idx, s_all, 0.0))
+
+    u = jax.random.uniform(key, (), w_local.dtype)               # shared
+    cdf = (offset + local_cdf) / total
+    counts = jnp.clip(jnp.ceil(n_total * cdf - u), 0,
+                      n_total).astype(jnp.int32)
+    is_last = idx == n_shards - 1
+    counts = jnp.where(
+        is_last & (jnp.arange(local_n) == local_n - 1), n_total, counts)
+    counts = _monotone_counts(counts)
+
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    c_prev = jax.lax.ppermute(counts[-1], axis, fwd)
+    c_prev = jnp.where(idx == 0, 0, c_prev)
+    return counts, c_prev
+
+
+def distributed_systematic_resample_t(x_t_local, w_local, key, axis: str,
+                                      sync_axes=None, pallas_fill=None):
+    """Transposed-layout distributed systematic resampling.
+
+    Same window/ring mechanics as :func:`distributed_systematic_resample`
+    but particle blocks travel as ``[d, local_n]`` columns and the local
+    fill runs through the Pallas merge-gather kernel
+    (:func:`..ops.resample_kernel.sorted_gather_resample_t`) instead of an
+    XLA ``searchsorted`` + row gather -- the on-chip fast path for
+    multi-chip filters (``searchsorted`` costs ~130 ms at local_n=1e6 on a
+    v5e; the kernel ~2 ms).
+
+    Args:
+      x_t_local: [d, local_n] this shard's particle columns.
+      w_local: [local_n] unnormalised linear weights.
+      key: PRNG key, identical on every shard.
+      axis: particle mesh axis.
+      sync_axes: all mesh axes of the enclosing shard_map (see
+        :func:`distributed_systematic_resample`).
+      pallas_fill: force (True) or disable (False) the kernel fill;
+        default auto (TPU backend and 1024-divisible local_n).
+    """
+    idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    d, local_n = x_t_local.shape
+    sync_axes = (axis,) if sync_axes is None else tuple(sync_axes)
+    if pallas_fill is None:
+        pallas_fill = (jax.default_backend() == "tpu"
+                       and local_n % 1024 == 0)
+
+    counts, c_prev = _systematic_window_counts(w_local, key, axis)
+    slots = idx * local_n + jnp.arange(local_n)                  # my outputs
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    d_pad = (-d) % 8
+    if d_pad and pallas_fill:
+        x_t_local = jnp.concatenate(
+            [x_t_local, jnp.zeros((d_pad, local_n), x_t_local.dtype)], axis=0)
+
+    if pallas_fill:
+        from ..ops.resample_kernel import sorted_gather_resample_t
+        kblock = 2048 if local_n % 2048 == 0 else 1024
+
+        def fill(out, filled, xb_t, cb, cp):
+            # shift the visiting block's global counts into this shard's
+            # local slot frame; clipping keeps the <=q counting exact for
+            # local slots, and the forced closing count only fabricates
+            # ancestors for slots outside the (masked) valid window
+            cb_loc = jnp.clip(cb - idx * local_n, 0, local_n)
+            cb_loc = cb_loc.at[-1].set(local_n)
+            cand = sorted_gather_resample_t(xb_t, cb_loc, block=kblock)
+            valid = (slots >= cp) & (slots < cb[-1])
+            take = valid & ~filled
+            out = jnp.where(take[None, :], cand, out)
+            return out, filled | valid
+    else:
+        def fill(out, filled, xb_t, cb, cp):
+            i = jnp.searchsorted(cb, slots, side="right")
+            valid = (slots >= cp) & (slots < cb[-1])
+            cand = xb_t[:, jnp.clip(i, 0, local_n - 1)]
+            out = jnp.where((valid & ~filled)[None, :], cand, out)
+            return out, filled | valid
+
+    out0 = jnp.zeros_like(x_t_local)
+    filled0 = jnp.zeros((local_n,), bool)
+    out, filled = fill(out0, filled0, x_t_local, counts, c_prev)
+
+    def missing(filled):
+        return jax.lax.psum(jnp.sum(jnp.logical_not(filled)
+                                    .astype(jnp.int32)), sync_axes)
+
+    def cond(carry):
+        _, _, _, _, _, r, miss = carry
+        return (miss > 0) & (r < n_shards)
+
+    def body(carry):
+        out, filled, xb, cb, cp, r, _ = carry
+        xb = jax.lax.ppermute(xb, axis, fwd)
+        cb = jax.lax.ppermute(cb, axis, fwd)
+        cp = jax.lax.ppermute(cp, axis, fwd)
+        out, filled = fill(out, filled, xb, cb, cp)
+        return out, filled, xb, cb, cp, r + 1, missing(filled)
+
+    init = (out, filled, x_t_local, counts, c_prev,
+            jnp.asarray(1, jnp.int32), missing(filled))
+    out, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return out[:d]
 
 
 def _all_gather_systematic_resample(x_local, w_local, key, axis: str):
@@ -341,23 +437,152 @@ def _sharded_scan(model: Model, params: Tree, data: TimeSeries,
     return ll, ll_hist, ess_hist, xf, saved
 
 
+def _make_save_fn_sharded_t(model: Model, store, interval: float,
+                            local_n: int, n_total: int, axis: str):
+    """Save functions on the transposed [d, local_n] sharded cloud."""
+    if store == "ll" or store is None:
+        return lambda t, x_t, k: ()
+    if store == "path":
+        def save(t, x_t, k):
+            idx = jax.lax.axis_index(axis)
+            j = jax.random.randint(k, (), 0, n_total)
+            mine = (j // local_n) == idx
+            v = jnp.where(mine, x_t[:, j % local_n],
+                          jnp.zeros_like(x_t[:, 0]))
+            return jax.lax.psum(v, axis)
+        return save
+    if store == "summary":
+        k_os = math.floor(n_total * interval)
+
+        def save(t, x_t, k):
+            d = x_t.shape[0]
+            mean = jax.lax.psum(jnp.sum(x_t, axis=1), axis) / n_total
+            eta_mean = model.link(model.f(mean, t))
+            etas = model.link(model.f_t(x_t, t))                 # [local_n]
+            cols = jnp.concatenate([x_t, etas[None]], axis=0)    # [d+1, m]
+            ks = jnp.asarray(
+                [[n_total - k_os - 1, k_os - 1]] * d
+                + [[n_total - k_os, min(k_os, n_total - 1)]], jnp.int32)
+            sel = _kth_smallest_sharded(cols, ks, axis)          # [d+1, 2]
+            return (eta_mean, sel[d, 0], sel[d, 1],
+                    mean, sel[:d, 0], sel[:d, 1])
+        return save
+    if callable(store):
+        return store
+    raise ValueError(f"unknown store mode {store!r}")
+
+
+def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
+                    local_n: int, key, axis: str, *,
+                    x_init=None, t0=None, store="ll",
+                    ess_threshold: Optional[float] = None,
+                    interval: float = 0.975,
+                    sync_axes=None, pallas_fill=None):
+    """Transposed-layout sharded filter body (the TPU fast path).
+
+    Particles live as [d, local_n] columns for the whole scan (the particle
+    axis on TPU lanes, as the single-device ``_filter_impl_t``), and
+    resampling uses :func:`distributed_systematic_resample_t` whose local
+    fill is the Pallas merge-gather kernel.  Semantics identical to
+    :func:`_sharded_scan`.
+    """
+    idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    n_total = local_n * n_shards
+    save_fn = _make_save_fn_sharded_t(model, store, interval, local_n,
+                                      n_total, axis)
+
+    k_init, k_scan = jax.random.split(key)
+    d = model.dim
+    if x_init is None:
+        x_t = model.initial_state_t(
+            params, jax.random.fold_in(k_init, idx), local_n)
+    else:
+        x_init = jnp.asarray(x_init)
+        if x_init.ndim == 1:
+            x_t = jnp.broadcast_to(x_init[:, None], (d, local_n))
+        else:
+            x_t = x_init.T   # local [local_n, d] block
+    dtype = x_t.dtype
+    wn0 = jnp.full((local_n,), 1.0 / n_total, dtype=dtype)
+
+    def step(carry, inp):
+        x_t, wn, t_prev, ll, ess = carry
+        t, y, mask, k = inp
+        k_prop = jax.random.fold_in(jax.random.fold_in(k, 1), idx)
+        k_sys = jax.random.fold_in(k, 2)    # shared across shards
+        k_save = jax.random.fold_in(k, 3)   # shared across shards
+
+        x1 = model.step_t(params, k_prop, x_t, t - t_prev)
+
+        y_safe = jnp.where(mask, y, 0.0)
+        gamma = model.f_t(x1, t)
+        logw = model.log_density(params, gamma, y_safe)
+        logw = jnp.where(mask, logw, 0.0)
+
+        maxw = jax.lax.pmax(jnp.max(logw), axis)
+        u = wn * jnp.exp(logw - maxw)
+        total = jax.lax.psum(jnp.sum(u), axis)
+        ll_inc = jnp.where(mask, maxw + jnp.log(total), 0.0)
+        wn1 = u / total
+        sumsq = jax.lax.psum(jnp.sum(wn1 * wn1), axis)
+        ess1 = jnp.where(mask,
+                         jnp.floor(1.0 / sumsq).astype(jnp.int32), ess)
+
+        if ess_threshold is None:
+            do_resample = mask
+        else:
+            do_resample = mask & (ess1 < ess_threshold * n_total)
+
+        def yes(args):
+            x_, w_ = args
+            x2 = distributed_systematic_resample_t(
+                x_, w_, k_sys, axis, sync_axes=sync_axes,
+                pallas_fill=pallas_fill)
+            return x2, jnp.full((local_n,), 1.0 / n_total, dtype=dtype)
+
+        x2, wn2 = jax.lax.cond(do_resample, yes, lambda a: a, (x1, wn1))
+        ll1 = ll + ll_inc
+        out = (save_fn(t, x2, k_save), ll1, ess1)
+        return (x2, wn2, t, ll1, ess1), out
+
+    keys = jax.random.split(k_scan, data.ts.shape[0])
+    t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
+    init = (x_t, wn0, t_start, jnp.asarray(0.0, dtype),
+            jnp.asarray(n_total, jnp.int32))
+    (xf_t, _, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
+        step, init, (data.ts, data.ys, data.mask, keys))
+    return ll, ll_hist, ess_hist, xf_t.T, saved
+
+
 @partial(jax.jit, static_argnames=("model", "n_particles", "mesh", "axis",
                                    "store", "ess_threshold", "interval",
-                                   "resample_comm", "init_is_cloud"))
+                                   "resample_comm", "init_is_cloud",
+                                   "transposed", "pallas_fill"))
 def _sharded_filter_impl(model, params, data, n_particles, key, x_init, t0,
                          mesh, axis, store, ess_threshold, interval,
-                         resample_comm, init_is_cloud):
+                         resample_comm, init_is_cloud, transposed=False,
+                         pallas_fill=None):
     n_shards = mesh.shape[axis]
     if n_particles % n_shards:
         raise ValueError(
             f"n_particles={n_particles} not divisible by {n_shards} shards")
     local_n = n_particles // n_shards
 
-    def body(p, d, k, t, xi):
-        return _sharded_scan(model, p, d, local_n, k, axis,
-                             x_init=xi, t0=t, store=store,
-                             ess_threshold=ess_threshold, interval=interval,
-                             resample_comm=resample_comm)
+    if transposed:
+        def body(p, d, k, t, xi):
+            return _sharded_scan_t(model, p, d, local_n, k, axis,
+                                   x_init=xi, t0=t, store=store,
+                                   ess_threshold=ess_threshold,
+                                   interval=interval,
+                                   pallas_fill=pallas_fill)
+    else:
+        def body(p, d, k, t, xi):
+            return _sharded_scan(model, p, d, local_n, k, axis,
+                                 x_init=xi, t0=t, store=store,
+                                 ess_threshold=ess_threshold,
+                                 interval=interval,
+                                 resample_comm=resample_comm)
 
     init_spec = P(axis) if init_is_cloud else P()
     if x_init is None:
@@ -386,12 +611,21 @@ def sharded_bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
                              store="summary",
                              ess_threshold: Optional[float] = None,
                              interval: float = 0.975,
-                             resample_comm: str = "distributed"):
+                             resample_comm: str = "distributed",
+                             transposed: Optional[bool] = None,
+                             pallas_fill: Optional[bool] = None):
     """Multi-chip :func:`~..inference.filter.bootstrap_filter`: same API
     surface and semantics, particle axis sharded over ``mesh[axis]``.
 
     ``resample_comm``: 'distributed' (ppermute ring, default) or
     'allgather' (round-1 baseline, for cross-checking).
+
+    ``transposed``: run the scan in [d, local_n] layout with the Pallas
+    merge-gather kernel as the local resampling fill (the on-chip fast
+    path, as the single-device ``resample='systematic-pallas'``).  Default
+    auto: TPU backend, 1024-divisible shard size, distributed resampling.
+    ``pallas_fill`` force-enables/disables the kernel fill inside the
+    transposed path (testing hook; default auto).
 
     Returns a :class:`~..inference.filter.FilterResult`; ``final_particles``
     keeps its global sharding.
@@ -402,12 +636,21 @@ def sharded_bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
     if resample_comm not in ("distributed", "allgather"):
         raise ValueError(
             f"resample_comm={resample_comm!r}: 'distributed' or 'allgather'")
+    local_n = n_particles // max(mesh.shape[axis], 1)
+    if transposed is None:
+        transposed = (jax.default_backend() == "tpu"
+                      and resample_comm == "distributed"
+                      and local_n % 1024 == 0)
+    if transposed and resample_comm != "distributed":
+        raise ValueError("transposed=True requires resample_comm="
+                         f"'distributed' (got {resample_comm!r})")
     x_init = None if initial_state is None else jnp.asarray(initial_state)
     init_is_cloud = x_init is not None and x_init.ndim == 2
     t0v = data.ts[0] if t0 is None else jnp.asarray(t0, data.ts.dtype)
     ll, ll_hist, ess_hist, xf, saved = _sharded_filter_impl(
         model, params, data, n_particles, key, x_init, t0v, mesh, axis,
-        store, ess_threshold, interval, resample_comm, init_is_cloud)
+        store, ess_threshold, interval, resample_comm, init_is_cloud,
+        transposed=transposed, pallas_fill=pallas_fill)
 
     summary = None
     path = None

@@ -135,7 +135,8 @@ def _dyadic_weights(key, n, pow2_total=True):
     (making the normalisation division exact too) -- any fp discrepancy
     between the single-device scan and the shard-hierarchical scan would
     change the counts, so the bit-exact comparisons below are meaningful."""
-    ints = jax.random.randint(key, (n,), 1, 255)
+    ints = jax.random.randint(key, (n,), 1, 200)  # headroom so the final
+    # adjustment below stays positive for any n
     target = 1 << (int(np.ceil(np.log2(n * 128))))
     ints = ints.at[-1].add(target - jnp.sum(ints))
     assert int(jnp.sum(ints)) == target and int(jnp.min(ints)) > 0
@@ -317,3 +318,95 @@ def test_mesh_front_door_requires_systematic(lg_case, key):
     with pytest.raises(ValueError, match="systematic"):
         bootstrap_filter(model, params, data, 512, key,
                          resample="stratified", mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# transposed (Pallas-fill) sharded fast path
+# ---------------------------------------------------------------------------
+
+from jax.experimental.pallas import tpu as pltpu
+
+from composablestatespacemodels_tpu.parallel.sharded_filter import (
+    distributed_systematic_resample_t)
+
+
+def _run_distributed_t(x_t, w, key, mesh, pallas_fill=False):
+    fn = shard_map(
+        lambda xs, ws: distributed_systematic_resample_t(
+            xs, ws, key, PARTICLE_AXIS, pallas_fill=pallas_fill),
+        mesh=mesh,
+        in_specs=(P(None, PARTICLE_AXIS), P(PARTICLE_AXIS)),
+        out_specs=P(None, PARTICLE_AXIS),
+        check_vma=False)
+    return fn(x_t, w)
+
+
+def test_distributed_resample_t_bit_exact(key):
+    """Transposed ring resampler (searchsorted fill) vs single-device."""
+    mesh = particle_mesh()
+    n, d = 1024, 3
+    w = _dyadic_weights(key, n)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (n, d))
+    got = _run_distributed_t(x.T, w, key, mesh, pallas_fill=False)
+    want = x[systematic_indices(key, w)]
+    np.testing.assert_array_equal(np.asarray(got.T), np.asarray(want))
+
+
+def test_distributed_resample_t_pallas_fill_bit_exact(key):
+    """Transposed ring resampler with the merge-kernel local fill
+    (interpret mode) vs single-device, incl. a multi-hop degenerate case."""
+    mesh = particle_mesh()
+    n, d = 8192, 3   # local_n = 1024: the kernel's minimum tile
+    with pltpu.force_tpu_interpret_mode():
+        w = _dyadic_weights(key, n)
+        x = jax.random.normal(jax.random.fold_in(key, 1), (n, d))
+        got = _run_distributed_t(x.T, w, key, mesh, pallas_fill=True)
+        want = x[systematic_indices(key, w)]
+        np.testing.assert_array_equal(np.asarray(got.T), np.asarray(want))
+
+        # all offspring on one shard: multiple ppermute hops + the
+        # local-frame count clipping in the kernel fill
+        w1 = jnp.zeros((n,), jnp.float32).at[5].set(1.0)
+        got = _run_distributed_t(x.T, w1, key, mesh, pallas_fill=True)
+        want = x[systematic_indices(key, w1)]
+        np.testing.assert_array_equal(np.asarray(got.T), np.asarray(want))
+
+
+def test_sharded_filter_transposed_matches_flat(lg_case, key):
+    """The transposed sharded scan must reproduce the flat sharded scan
+    exactly on a d=1 model (identical noise layouts for d=1)."""
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    n = 2048
+    flat = sharded_bootstrap_filter(model, params, data, n, key, mesh,
+                                    store="ll", transposed=False)
+    tr = sharded_bootstrap_filter(model, params, data, n, key, mesh,
+                                  store="ll", transposed=True,
+                                  pallas_fill=False)
+    np.testing.assert_allclose(float(tr.ll), float(flat.ll), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tr.ess), np.asarray(flat.ess))
+    np.testing.assert_array_equal(np.asarray(tr.final_particles),
+                                  np.asarray(flat.final_particles))
+
+
+def test_sharded_filter_transposed_summary_and_path(lg_case, key):
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    n = 2048
+    flat = sharded_bootstrap_filter(model, params, data, n, key, mesh,
+                                    store="summary", transposed=False)
+    tr = sharded_bootstrap_filter(model, params, data, n, key, mesh,
+                                  store="summary", transposed=True,
+                                  pallas_fill=False)
+    np.testing.assert_array_equal(np.asarray(tr.summary.state_lower),
+                                  np.asarray(flat.summary.state_lower))
+    np.testing.assert_array_equal(np.asarray(tr.summary.eta_upper),
+                                  np.asarray(flat.summary.eta_upper))
+    np.testing.assert_allclose(np.asarray(tr.summary.state_mean),
+                               np.asarray(flat.summary.state_mean),
+                               rtol=2e-5, atol=1e-6)
+    p = sharded_bootstrap_filter(model, params, data, n, key, mesh,
+                                 store="path", transposed=True,
+                                 pallas_fill=False)
+    assert p.sampled_path.shape == (data.ts.shape[0], model.dim)
+    assert np.isfinite(np.asarray(p.sampled_path)).all()
