@@ -410,3 +410,24 @@ def test_sharded_filter_transposed_summary_and_path(lg_case, key):
                                  pallas_fill=False)
     assert p.sampled_path.shape == (data.ts.shape[0], model.dim)
     assert np.isfinite(np.asarray(p.sampled_path)).all()
+
+
+def test_forecast_from_sharded_cloud(lg_case, key):
+    """The sharded filter's final cloud feeds the forecasting API directly
+    (the arrays keep their device sharding; XLA inserts the collectives)."""
+    from composablestatespacemodels_tpu.inference.filter import (forecast,
+                                                                 forecast_times)
+
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    res = sharded_bootstrap_filter(model, params, data, 1024, key, mesh,
+                                   store="ll")
+    t_last = float(data.ts[-1])
+    f = forecast(model, params, res.final_particles, t_last, t_last + 1.0,
+                 key)
+    assert np.isfinite(float(f.obs_mean))
+    assert float(f.state_lower[0]) <= float(f.state_upper[0])
+    fs = forecast_times(model, params, res.final_particles, t_last,
+                        jnp.arange(1.0, 4.0) + t_last, key)
+    assert fs.obs_mean.shape == (3,)
+    assert np.isfinite(np.asarray(fs.obs_mean)).all()
