@@ -196,8 +196,10 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
 
     dtype = x_t.dtype
     n = n_particles
-    # measured on a v5e at N=2^20: block=2048 1.91 ms/step, 1024 2.00,
-    # 512 2.43, 4096 2.19
+    # v5e, N=2^20, T=1000: kernel-ONLY sweeps favour block=1024 (1.442 vs
+    # 1.564 ms/step) but the FULL fused filter favours 2048 (2.02-2.04 vs
+    # 2.09-2.11 s/1000 steps, repeatable) -- grid-count interactions with
+    # the surrounding step dominate the kernel-local difference
     kblock = 2048 if n % 2048 == 0 else 1024
 
     def step(carry, inp):
