@@ -16,7 +16,10 @@ vs_baseline > 50.
 Usage:
   python bench.py            # full: N=1e6, T=1000 on the default device
   python bench.py --smoke    # tiny shapes, CI-friendly
-  python bench.py --pmmh     # also record PMMH iterations/sec
+  python bench.py --no-secondary   # headline only (skip PMMH + sharded)
+  python bench.py --smoke --pmmh   # force the secondary metrics in smoke
+Secondary metrics (PMMH iterations/sec, sharded-filter throughput) run by
+default on full benches so the recorded JSON is complete.
 """
 
 import argparse
@@ -159,7 +162,11 @@ def main():
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--pmmh", action="store_true",
-                    help="also time PMMH iterations/sec (stderr)")
+                    help="force the secondary metrics (PMMH, sharded) even "
+                         "with --smoke")
+    ap.add_argument("--no-secondary", action="store_true",
+                    help="headline metric only (skip the PMMH and sharded "
+                         "benches that otherwise run on full invocations)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -180,7 +187,7 @@ def main():
         "vs_baseline": round(
             throughput / BASELINE_PARTICLE_STEPS_PER_SEC, 2),
     }
-    if args.pmmh or not args.smoke:
+    if (args.pmmh or not args.smoke) and not args.no_secondary:
         result["pmmh_iters_per_sec"] = round(bench_pmmh(), 1)
         result["sharded_particle_steps_per_sec"] = round(bench_sharded(n))
     print(json.dumps(result))

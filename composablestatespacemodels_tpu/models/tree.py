@@ -104,10 +104,11 @@ class Tree:
 
 
 class Leaf(Tree):
-    __slots__ = ("value",)
+    __slots__ = ("value", "_hash")
 
     def __init__(self, value):
         self.value = value
+        self._hash = None
 
     def __repr__(self):
         return f"Leaf({self.value!r})"
@@ -116,9 +117,12 @@ class Leaf(Tree):
         return isinstance(other, Leaf) and _eq(self.value, other.value)
 
     def __hash__(self):
-        # hash a stable representation of the value so equal leaves hash
-        # equally (the hash/eq contract); arrays hash by shape/dtype/bytes
-        return hash(("Leaf", _hash_value(self.value)))
+        # hash a canonical representation of the value so equal leaves hash
+        # equally (the hash/eq contract); cached -- array leaves would
+        # otherwise pay a device-to-host copy on every hash call
+        if self._hash is None:
+            self._hash = hash(("Leaf", _hash_value(self.value)))
+        return self._hash
 
 
 class Branch(Tree):
@@ -159,24 +163,34 @@ Empty = EmptyTree()
 
 
 def _eq(a, b):
+    """Value equality for leaves: same shape and equal elements, dtype
+    insensitive (``1.0 == np.float32(1.0)``).  Deliberately NOT numpy
+    broadcast equality -- ``ones(3)`` and ``1.0`` are distinct leaves --
+    so equality stays coherent with :func:`_hash_value`."""
     try:
         import numpy as np
 
-        return bool(np.all(np.asarray(a) == np.asarray(b)))
+        aa, bb = np.asarray(a), np.asarray(b)
+        return aa.shape == bb.shape and bool(np.all(aa == bb))
     except Exception:
         return a == b
 
 
 def _hash_value(v):
-    """Stable value hash consistent with :func:`_eq`: array-likes hash by
-    (shape, dtype, bytes); other values by their own hash; unhashable
-    non-arrays collapse to a constant (valid -- equal values still collide
-    into the same bucket)."""
+    """Stable value hash consistent with :func:`_eq`: numeric array-likes
+    hash by (shape, float64-canonicalised bytes) so dtype never splits
+    equal values into different buckets; other values by their own hash;
+    unhashable non-arrays collapse to a constant (valid -- equal values
+    still collide into the same bucket)."""
     try:
         import numpy as np
 
         a = np.asarray(v)
-        return hash((a.shape, str(a.dtype), a.tobytes()))
+        if a.dtype.kind in "fiub":
+            a = a.astype(np.float64)
+        elif a.dtype.kind == "c":
+            a = a.astype(np.complex128)
+        return hash((a.shape, a.tobytes()))
     except Exception:
         try:
             return hash(v)

@@ -98,6 +98,11 @@ def hybrid_mesh(n_chains: Optional[int] = None,
     by_proc = {p: [] for p in proc_ids}
     for d in devices:
         by_proc[getattr(d, "process_index", 0)].append(d)
+    bad = {p: len(ds) for p, ds in by_proc.items() if len(ds) != n_local}
+    if bad:
+        raise ValueError(
+            f"hybrid_mesh needs every process to own the same number of "
+            f"devices ({n_local}); differing processes: {bad}")
     rows = []
     for p in proc_ids:
         local = by_proc[p]

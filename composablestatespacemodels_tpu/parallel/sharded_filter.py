@@ -89,16 +89,9 @@ def distributed_systematic_resample(x_local, w_local, key, axis: str,
     ends the loop globally as soon as every slot is filled.
     """
     idx = jax.lax.axis_index(axis)
-    n_shards = jax.lax.axis_size(axis)
     local_n = w_local.shape[0]
-    sync_axes = (axis,) if sync_axes is None else tuple(sync_axes)
-
     counts, c_prev = _systematic_window_counts(w_local, key, axis)
-    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-
     slots = idx * local_n + jnp.arange(local_n)                  # my outputs
-    out0 = jnp.zeros_like(x_local)
-    filled0 = jnp.zeros((local_n,), bool)
 
     def fill(out, filled, xb, cb, cp):
         """Take ancestors from the visiting block (window [cp, cb[-1]))."""
@@ -108,7 +101,26 @@ def distributed_systematic_resample(x_local, w_local, key, axis: str,
         out = jnp.where((valid & ~filled)[:, None], cand, out)
         return out, filled | valid
 
-    out, filled = fill(out0, filled0, x_local, counts, c_prev)
+    return _ring_exchange_fill(fill, x_local, counts, c_prev, local_n,
+                               axis, sync_axes)
+
+
+def _ring_exchange_fill(fill, x_block, counts, c_prev, local_n, axis,
+                        sync_axes):
+    """Shared ring driver of the distributed resamplers.
+
+    Circulates ``(x_block, counts, c_prev)`` around the ``axis`` ring and
+    applies ``fill(out, filled, xb, cb, cp) -> (out, filled)`` per hop (the
+    layout-specific local gather); a ``psum`` of unfilled counts over
+    ``sync_axes`` exits as soon as every shard holds its ancestors.
+    """
+    n_shards = jax.lax.axis_size(axis)
+    sync_axes = (axis,) if sync_axes is None else tuple(sync_axes)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    out, filled = fill(jnp.zeros_like(x_block),
+                       jnp.zeros((local_n,), bool),
+                       x_block, counts, c_prev)
 
     def missing(filled):
         return jax.lax.psum(jnp.sum(jnp.logical_not(filled)
@@ -126,7 +138,7 @@ def distributed_systematic_resample(x_local, w_local, key, axis: str,
         out, filled = fill(out, filled, xb, cb, cp)
         return out, filled, xb, cb, cp, r + 1, missing(filled)
 
-    init = (out, filled, x_local, counts, c_prev,
+    init = (out, filled, x_block, counts, c_prev,
             jnp.asarray(1, jnp.int32), missing(filled))
     out, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return out
@@ -191,16 +203,13 @@ def distributed_systematic_resample_t(x_t_local, w_local, key, axis: str,
         default auto (TPU backend and 1024-divisible local_n).
     """
     idx = jax.lax.axis_index(axis)
-    n_shards = jax.lax.axis_size(axis)
     d, local_n = x_t_local.shape
-    sync_axes = (axis,) if sync_axes is None else tuple(sync_axes)
     if pallas_fill is None:
         pallas_fill = (jax.default_backend() == "tpu"
                        and local_n % 1024 == 0)
 
     counts, c_prev = _systematic_window_counts(w_local, key, axis)
     slots = idx * local_n + jnp.arange(local_n)                  # my outputs
-    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
     d_pad = (-d) % 8
     if d_pad and pallas_fill:
@@ -231,29 +240,8 @@ def distributed_systematic_resample_t(x_t_local, w_local, key, axis: str,
             out = jnp.where((valid & ~filled)[None, :], cand, out)
             return out, filled | valid
 
-    out0 = jnp.zeros_like(x_t_local)
-    filled0 = jnp.zeros((local_n,), bool)
-    out, filled = fill(out0, filled0, x_t_local, counts, c_prev)
-
-    def missing(filled):
-        return jax.lax.psum(jnp.sum(jnp.logical_not(filled)
-                                    .astype(jnp.int32)), sync_axes)
-
-    def cond(carry):
-        _, _, _, _, _, r, miss = carry
-        return (miss > 0) & (r < n_shards)
-
-    def body(carry):
-        out, filled, xb, cb, cp, r, _ = carry
-        xb = jax.lax.ppermute(xb, axis, fwd)
-        cb = jax.lax.ppermute(cb, axis, fwd)
-        cp = jax.lax.ppermute(cp, axis, fwd)
-        out, filled = fill(out, filled, xb, cb, cp)
-        return out, filled, xb, cb, cp, r + 1, missing(filled)
-
-    init = (out, filled, x_t_local, counts, c_prev,
-            jnp.asarray(1, jnp.int32), missing(filled))
-    out, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    out = _ring_exchange_fill(fill, x_t_local, counts, c_prev, local_n,
+                              axis, sync_axes)
     return out[:d]
 
 
@@ -261,19 +249,22 @@ def _all_gather_systematic_resample(x_local, w_local, key, axis: str):
     """Round-1 baseline: gather weights + particles, slice the global
     sample.  Kept for cross-checking the distributed path; O(N*d) ICI
     traffic and O(N) per-chip memory per step."""
-    from ..inference.resampling import _ancestors_from_counts
+    from ..inference.resampling import (_ancestors_from_counts, _cumsum,
+                                        _monotone_counts)
 
     idx = jax.lax.axis_index(axis)
     local_n = x_local.shape[0]
     n_total = local_n * jax.lax.axis_size(axis)
     w_all = jax.lax.all_gather(w_local, axis, tiled=True)        # [N]
     x_all = jax.lax.all_gather(x_local, axis, tiled=True)        # [N, d]
-    cdf = jax.lax.associative_scan(jnp.add, w_all / jnp.sum(w_all))
+    cdf = _cumsum(w_all / jnp.sum(w_all))
     u = jax.random.uniform(key, (), w_local.dtype)
     counts = jnp.clip(jnp.ceil(n_total * cdf - u), 0,
                       n_total).astype(jnp.int32)
     counts = counts.at[-1].set(n_total)
-    anc = _ancestors_from_counts(counts, n_total)
+    # the f32 prefix can dip a ulp => counts must be monotonised before
+    # ancestor construction, exactly as every other count-based path
+    anc = _ancestors_from_counts(_monotone_counts(counts), n_total)
     local = jax.lax.dynamic_slice_in_dim(anc, idx * local_n, local_n)
     return x_all[local]
 

@@ -157,3 +157,24 @@ def test_model_is_hashable_static():
 
     out = f(jnp.ones((4, 9)))
     assert out.shape == (4,)
+
+
+def test_leaf_hash_eq_mixed_types():
+    """Equal-but-differently-typed leaf values must hash equally
+    (review finding: float64 vs float32 bytes split equal leaves), and
+    equality is shape-strict so it stays coherent with the hash."""
+    import numpy as np
+
+    from composablestatespacemodels_tpu.models import leaf
+
+    a, b = leaf(1.0), leaf(np.float32(1.0))
+    assert a == b and hash(a) == hash(b)
+    assert {a: 1}[b] == 1
+    c = leaf(np.asarray([1.0, 2.0], np.float32))
+    d = leaf(np.asarray([1.0, 2.0], np.float64))
+    assert c == d and hash(c) == hash(d)
+    # broadcastable values are NOT equal leaves (shape-strict equality)
+    assert leaf(np.ones(3)) != leaf(1.0)
+    # int/float equal values hash equally
+    e, f = leaf(3), leaf(3.0)
+    assert e == f and hash(e) == hash(f)

@@ -431,3 +431,25 @@ def test_forecast_from_sharded_cloud(lg_case, key):
                         jnp.arange(1.0, 4.0) + t_last, key)
     assert fs.obs_mean.shape == (3,)
     assert np.isfinite(np.asarray(fs.obs_mean)).all()
+
+
+def test_allgather_resample_heavy_tail_matches_indices(key):
+    """The all-gather cross-check baseline must apply the same monotone
+    guard as every other count-based path (review finding)."""
+    from composablestatespacemodels_tpu.parallel.sharded_filter import (
+        _all_gather_systematic_resample)
+
+    mesh = particle_mesh()
+    n, d = 1024, 2
+    w = jax.random.exponential(key, (n,)) ** 4
+    x = jax.random.normal(key, (n, d))
+    fn = shard_map(
+        lambda xs, ws: _all_gather_systematic_resample(
+            xs, ws, key, PARTICLE_AXIS),
+        mesh=mesh,
+        in_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS)),
+        out_specs=P(PARTICLE_AXIS),
+        check_vma=False)
+    got = fn(x, w)
+    want = x[systematic_indices(key, w)]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
