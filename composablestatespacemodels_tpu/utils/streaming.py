@@ -54,7 +54,10 @@ class OnlineFilter:
 
     def __init__(self, model: Model, params: Tree, n_particles: int, key,
                  t0: float, *, resample: str = "systematic",
-                 store: str = "summary", interval: float = 0.975):
+                 store: str = "summary", interval: float = 0.975,
+                 mesh=None):
+        """``mesh``: optional particle-sharded multi-chip filtering (the
+        carried cloud keeps its device sharding across chunks)."""
         model.validate_params(params)
         self.model = model
         self.params = params
@@ -62,6 +65,7 @@ class OnlineFilter:
         self.resample = resample
         self.store = store
         self.interval = interval
+        self.mesh = mesh
         from ..inference.filter import bootstrap_filter  # deferred
         self._filter = bootstrap_filter
         key, k_init = jax.random.split(key)
@@ -79,7 +83,7 @@ class OnlineFilter:
             self.model, self.params, chunk, self.n_particles, k,
             resample=self.resample, t0=float(self.t),
             initial_state=self.particles, store=self.store,
-            interval=self.interval)
+            interval=self.interval, mesh=self.mesh)
         self.particles = res.final_particles
         self.t = chunk.ts[-1]
         self.ll = self.ll + res.ll

@@ -290,3 +290,23 @@ def test_windowed_mean_params():
     out = strm.windowed_mean_params(stacked, 4)
     np.testing.assert_allclose(out["a"], [1.5, 5.5])
     assert out["b"].shape == (2, 2)
+
+
+def test_online_filter_on_mesh(key):
+    """OnlineFilter carries a sharded cloud across chunks (mesh= support)."""
+    from composablestatespacemodels_tpu import log_likelihood
+    from composablestatespacemodels_tpu.parallel import particle_mesh
+
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = simulate_regular(model, params, key, 40, dt=0.5)
+    data = sim.to_timeseries()
+
+    of = strm.OnlineFilter(model, params, 1024, key, t0=float(data.ts[0]),
+                           mesh=particle_mesh())
+    for lo in range(0, 40, 20):
+        of.step(TimeSeries(data.ts[lo:lo + 20], data.ys[lo:lo + 20],
+                           data.mask[lo:lo + 20]))
+    assert of.n_observed == 40
+    batch = float(log_likelihood(model, params, data, 1024, key))
+    assert abs(float(of.ll) - batch) < 3.0
