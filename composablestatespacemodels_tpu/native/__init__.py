@@ -6,7 +6,7 @@ implementations in :mod:`..utils.io` when no compiler is available.
 """
 
 from .loader import (available, parse_timeseries_csv, parse_timeseries_json,
-                     write_timeseries_csv)
+                     write_matrix_csv, write_timeseries_csv)
 
 __all__ = ["available", "parse_timeseries_csv", "parse_timeseries_json",
-           "write_timeseries_csv"]
+           "write_matrix_csv", "write_timeseries_csv"]

@@ -184,4 +184,28 @@ int cssm_write_timeseries_csv(const char* path, const double* ts,
   return 0;
 }
 
+// writer: dense float matrix as CSV with a caller-supplied header line --
+// the posterior-to-CSV hot path (the reference JsonToCSV app,
+// DetermineParameters.scala:90-101, writes 100k-iteration chains)
+int cssm_write_matrix_csv(const char* path, const char* header,
+                          const double* vals, long rows, long cols) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  if (header && header[0]) {
+    std::fputs(header, f);
+    std::fputc('\n', f);
+  }
+  char cell[64];
+  for (long i = 0; i < rows; i++) {
+    const double* r = vals + i * cols;
+    for (long j = 0; j < cols; j++) {
+      int len = std::snprintf(cell, sizeof(cell), "%.17g", r[j]);
+      std::fwrite(cell, 1, len, f);
+      std::fputc(j + 1 < cols ? ',' : '\n', f);
+    }
+  }
+  std::fclose(f);
+  return 0;
+}
+
 }  // extern "C"

@@ -76,6 +76,16 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError:
         return None
 
+    # a stale prebuilt library (older than fastio.cpp's export surface)
+    # is rebuilt in place
+    if not hasattr(lib, "cssm_write_matrix_csv"):
+        if not _build(lib_path):
+            return None
+        try:
+            lib = ctypes.CDLL(str(lib_path))
+        except OSError:
+            return None
+
     lib.cssm_parse_timeseries_csv.restype = ctypes.POINTER(_TsData)
     lib.cssm_parse_timeseries_csv.argtypes = [ctypes.c_char_p]
     lib.cssm_parse_timeseries_json.restype = ctypes.POINTER(_TsData)
@@ -88,6 +98,11 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_long]
+    lib.cssm_write_matrix_csv.restype = ctypes.c_int
+    lib.cssm_write_matrix_csv.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_long]
     _lib = lib
     return _lib
 
@@ -139,3 +154,14 @@ def write_timeseries_csv(path: str, ts, ys, mask) -> bool:
     mask = np.ascontiguousarray(np.asarray(mask).astype(np.uint8))
     return lib.cssm_write_timeseries_csv(str(path).encode(), ts, ys, mask,
                                          len(ts)) == 0
+
+
+def write_matrix_csv(path: str, header: str, vals) -> bool:
+    """Native dense-matrix CSV writer (posterior chains)."""
+    lib = _load()
+    if lib is None:
+        return False
+    vals = np.ascontiguousarray(np.asarray(vals, dtype=np.float64))
+    rows, cols = vals.shape
+    return lib.cssm_write_matrix_csv(str(path).encode(), header.encode(),
+                                     vals, rows, cols) == 0

@@ -202,10 +202,14 @@ def write_posterior_json(path: str, result) -> None:
     single-chain :class:`~..inference.pmmh.PmmhResult`."""
     lls = np.asarray(result.lls)
     accs = np.asarray(result.accepted)
+    # convert device leaves to host numpy ONCE: indexing jax arrays per
+    # iteration would issue a device dispatch per leaf per row (~minutes
+    # for a 100k-iteration chain over a remote-TPU link)
+    params_np = jax.tree_util.tree_map(np.asarray, result.params)
     n = lls.shape[0]
     with open(path, "w") as f:
         for i in range(n):
-            p_i = jax.tree_util.tree_map(lambda x: x[i], result.params)
+            p_i = jax.tree_util.tree_map(lambda x: x[i], params_np)
             f.write(json.dumps({
                 "ll": float(lls[i]),
                 "accepted": int(accs[i]),
@@ -237,19 +241,28 @@ def read_posterior_json(path: str, burn_in: int = 0, thin: int = 1):
 
 def posterior_to_csv(json_path: str, csv_path: str, template: Tree) -> None:
     """Posterior JSON -> CSV with parameter-name header (the reference
-    JsonToCSV app, DetermineParameters.scala:90-101)."""
+    JsonToCSV app, DetermineParameters.scala:90-101).
+
+    Flattening is one vmapped ``ravel_pytree`` (a per-row ravel costs a
+    device dispatch per row); rows go through the native C++ matrix writer
+    when available.
+    """
     from jax.flatten_util import ravel_pytree
 
     stacked, lls, _ = read_posterior_json(json_path)
     names = param_names(template)
-    n = lls.shape[0]
+    flat = jax.vmap(lambda p: ravel_pytree(p)[0])(stacked)     # [n, k]
+    mat = np.column_stack([np.asarray(flat),
+                           np.asarray(lls)[:, None]]).astype(np.float64)
+    header = ",".join(names + ["ll"])
+
+    from .. import native
+    if native.write_matrix_csv(csv_path, header, mat):
+        return
     with open(csv_path, "w") as f:
-        f.write(",".join(names + ["ll"]) + "\n")
-        for i in range(n):
-            p_i = jax.tree_util.tree_map(lambda x: x[i], stacked)
-            flat, _ = ravel_pytree(p_i)
-            row = [str(float(v)) for v in np.asarray(flat)]
-            f.write(",".join(row + [str(float(lls[i]))]) + "\n")
+        f.write(header + "\n")
+        for row in mat:
+            f.write(",".join(str(v) for v in row) + "\n")
 
 
 def write_forecast_csv(path: str, fc) -> None:

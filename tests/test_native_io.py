@@ -69,3 +69,17 @@ def test_native_json_matches_python(tmp_path):
 
 def test_native_missing_file_returns_none():
     assert native.parse_timeseries_csv("/nonexistent/file.csv") is None
+
+
+def test_write_matrix_csv_roundtrip(tmp_path):
+    from composablestatespacemodels_tpu import native
+
+    if not native.available():
+        pytest.skip("native tier unavailable")
+    path = str(tmp_path / "m.csv")
+    mat = np.arange(12.0).reshape(4, 3) / 7.0
+    assert native.write_matrix_csv(path, "a,b,c", mat)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "a,b,c"
+    got = np.array([[float(v) for v in ln.split(",")] for ln in lines[1:]])
+    np.testing.assert_array_equal(got, mat)
