@@ -26,17 +26,18 @@ from ..models.model import Model
 from ..models.tree import Tree
 from ..utils.data import TimeSeries
 from .mesh import CHAIN_AXIS, PARTICLE_AXIS
-from .sharded_filter import _sharded_scan
+from .sharded_filter import _sharded_scan, _sharded_scan_t
 
 _INIT_LL = -1e30
 
 
 @partial(jax.jit,
          static_argnames=("model", "n_particles", "n_iters", "mesh",
-                          "proposal", "prior", "log_transition"))
+                          "proposal", "prior", "log_transition",
+                          "transposed"))
 def _sharded_pmmh_impl(model: Model, params: Tree, data: TimeSeries,
                        n_particles: int, key, n_iters: int, mesh: Mesh,
-                       proposal, prior, log_transition):
+                       proposal, prior, log_transition, transposed=False):
     n_pshards = mesh.shape[PARTICLE_AXIS]
     if n_particles % n_pshards:
         raise ValueError(
@@ -51,7 +52,8 @@ def _sharded_pmmh_impl(model: Model, params: Tree, data: TimeSeries,
             # sync_axes: the adaptive resampling ring's trip count must
             # agree across chain rows too (its ppermutes rendezvous
             # mesh-wide), so the unfilled-count psum spans both axes
-            ll, _, _, _, _ = _sharded_scan(
+            scan = _sharded_scan_t if transposed else _sharded_scan
+            ll, _, _, _, _ = scan(
                 model, p, d, local_n, kk, PARTICLE_AXIS,
                 sync_axes=(CHAIN_AXIS, PARTICLE_AXIS))
             return ll
@@ -94,9 +96,19 @@ def sharded_pmmh(model: Model, init_params: Tree, data: TimeSeries,
                  n_particles: int, key, n_iters: int, mesh: Mesh, *,
                  proposal: Callable,
                  prior: Callable = flat_prior,
-                 log_transition: Callable = symmetric_transition) -> PmmhResult:
+                 log_transition: Callable = symmetric_transition,
+                 transposed: bool | None = None) -> PmmhResult:
     """Run ``mesh.shape['chains']`` PMMH chains, each with an
-    ICI-sharded particle filter.  Result axes: [n_chains, n_iters, ...]."""
+    ICI-sharded particle filter.  Result axes: [n_chains, n_iters, ...].
+
+    ``transposed``: run each chain's filter in the [d, local_n] fast
+    layout with Pallas local resampling fills (default auto: TPU backend
+    and 1024-divisible shard size; see sharded_filter)."""
     model.validate_params(init_params)
+    if transposed is None:
+        local_n = n_particles // max(mesh.shape[PARTICLE_AXIS], 1)
+        transposed = (jax.default_backend() == "tpu"
+                      and local_n % 1024 == 0)
     return _sharded_pmmh_impl(model, init_params, data, n_particles, key,
-                              n_iters, mesh, proposal, prior, log_transition)
+                              n_iters, mesh, proposal, prior, log_transition,
+                              transposed=transposed)

@@ -21,15 +21,25 @@ def main():
     ap.add_argument("data", help="line-delimited JSON observations")
     ap.add_argument("--plot", action="store_true",
                     help="also write a filtered-ribbon PNG (R/Plots.R:58-75)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the particle cloud over all devices "
+                         "(distributed systematic resampling over ICI)")
     add_common_args(ap)
     args = ap.parse_args()
     cfg = config_from_args(args)
+
+    mesh = None
+    if args.mesh:
+        from composablestatespacemodels_tpu.parallel import particle_mesh
+        mesh = particle_mesh()
+        print(f"mesh: {mesh.devices.size} device(s) on the particle axis")
 
     model, params = test_model()
     data = cio.read_timeseries_json(args.data)
     res = cssm.bootstrap_filter(model, params, data, cfg.n_particles,
                                 jax.random.PRNGKey(cfg.seed),
-                                resample=cfg.resample, store="summary")
+                                resample=cfg.resample, store="summary",
+                                mesh=mesh)
     s = res.summary
     path = f"{cfg.out}_filtered.csv"
     with open(path, "w") as f:

@@ -37,6 +37,13 @@ def test_simulate_model_and_filtering(tmp_path, monkeypatch):
     assert pathlib.Path(png).exists()
     assert pathlib.Path(png).stat().st_size > 2000
 
+    # multi-chip variant: same app over the virtual device mesh
+    run_example("filtering.py",
+                [out + "_sims.json", "--n-particles", "128", "--out",
+                 str(tmp_path / "fm"), "--mesh"], monkeypatch)
+    rows_m = open(str(tmp_path / "fm") + "_filtered.csv").read().strip()
+    assert len(rows_m.split("\n")) == 60
+
 
 def test_simulate_ornstein(tmp_path, monkeypatch):
     out = str(tmp_path / "ou")

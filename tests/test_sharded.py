@@ -453,3 +453,15 @@ def test_allgather_resample_heavy_tail_matches_indices(key):
     got = fn(x, w)
     want = x[systematic_indices(key, w)]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_pmmh_transposed(lg_case, key):
+    """Chain-parallel PMMH with the transposed per-chain filter."""
+    model, params, data = lg_case
+    mesh = make_mesh(2, 4)
+    res = sharded_pmmh(model, params, data, 256, key, 20, mesh,
+                       proposal=perturb(0.01), transposed=True)
+    assert res.lls.shape == (2, 20)
+    assert bool(jnp.isfinite(res.lls).all())
+    rates = np.asarray(res.acceptance_rate())
+    assert (rates > 0).all()
