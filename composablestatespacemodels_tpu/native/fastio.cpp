@@ -191,21 +191,25 @@ int cssm_write_matrix_csv(const char* path, const char* header,
                           const double* vals, long rows, long cols) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
+  int ok = 1;
   if (header && header[0]) {
-    std::fputs(header, f);
-    std::fputc('\n', f);
+    ok &= std::fputs(header, f) >= 0;
+    ok &= std::fputc('\n', f) != EOF;
   }
   char cell[64];
-  for (long i = 0; i < rows; i++) {
+  for (long i = 0; ok && i < rows; i++) {
     const double* r = vals + i * cols;
     for (long j = 0; j < cols; j++) {
       int len = std::snprintf(cell, sizeof(cell), "%.17g", r[j]);
-      std::fwrite(cell, 1, len, f);
-      std::fputc(j + 1 < cols ? ',' : '\n', f);
+      ok &= std::fwrite(cell, 1, len, f) == (size_t)len;
+      ok &= std::fputc(j + 1 < cols ? ',' : '\n', f) != EOF;
     }
   }
-  std::fclose(f);
-  return 0;
+  // a short write (ENOSPC, I/O error) must fail loudly so the Python
+  // caller falls back / raises instead of keeping a truncated chain
+  ok &= !std::ferror(f);
+  ok &= std::fclose(f) == 0;
+  return ok ? 0 : -1;
 }
 
 }  // extern "C"

@@ -34,15 +34,34 @@ class _TsData(ctypes.Structure):
 
 
 def _build(target: pathlib.Path) -> bool:
+    """Compile to a temp file and atomically rename into place: a fresh
+    inode means a later ``dlopen`` is NOT served the stale cached handle
+    (glibc dedupes by pathname/inode), an in-place rewrite can't corrupt
+    the mapping of another live process, and two concurrent rebuilds
+    resolve to whichever rename lands last."""
+    tmp = target.with_name(f".{target.name}.{os.getpid()}.tmp")
     for cc in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(target)],
+                [cc, "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, target)
             return True
         except (OSError, subprocess.SubprocessError):
+            tmp.unlink(missing_ok=True)
             continue
     return False
+
+
+def _try_load(lib_path: pathlib.Path) -> Optional[ctypes.CDLL]:
+    """Load and sanity-check the export surface (None if stale/unloadable)."""
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+    except OSError:
+        return None
+    if not hasattr(lib, "cssm_write_matrix_csv"):
+        return None  # prebuilt library older than fastio.cpp
+    return lib
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -54,37 +73,24 @@ def _load() -> Optional[ctypes.CDLL]:
     candidates = [_HERE / _LIB_NAME,
                   pathlib.Path(tempfile.gettempdir())
                   / f"cssm_fastio_{os.getuid()}" / _LIB_NAME]
-    lib_path = None
+    lib = None
     for cand in candidates:
         if cand.exists():
-            lib_path = cand
-            break
-    if lib_path is None:
-        for cand in candidates:
-            try:
-                cand.parent.mkdir(parents=True, exist_ok=True)
-                if _build(cand):
-                    lib_path = cand
-                    break
-            except OSError:
-                continue
-    if lib_path is None:
-        return None
-
-    try:
-        lib = ctypes.CDLL(str(lib_path))
-    except OSError:
-        return None
-
-    # a stale prebuilt library (older than fastio.cpp's export surface)
-    # is rebuilt in place
-    if not hasattr(lib, "cssm_write_matrix_csv"):
-        if not _build(lib_path):
-            return None
+            lib = _try_load(cand)
+            if lib is not None:
+                break
+        # absent, unloadable, or stale: (re)build this candidate; on
+        # failure (e.g. read-only package dir) fall through to the next
         try:
-            lib = ctypes.CDLL(str(lib_path))
+            cand.parent.mkdir(parents=True, exist_ok=True)
         except OSError:
-            return None
+            continue
+        if _build(cand):
+            lib = _try_load(cand)
+            if lib is not None:
+                break
+    if lib is None:
+        return None
 
     lib.cssm_parse_timeseries_csv.restype = ctypes.POINTER(_TsData)
     lib.cssm_parse_timeseries_csv.argtypes = [ctypes.c_char_p]
@@ -157,7 +163,9 @@ def write_timeseries_csv(path: str, ts, ys, mask) -> bool:
 
 
 def write_matrix_csv(path: str, header: str, vals) -> bool:
-    """Native dense-matrix CSV writer (posterior chains)."""
+    """Native dense-matrix CSV writer for posterior chains (the hot path
+    of the reference JsonToCSV app, DetermineParameters.scala:90-101 /
+    Streaming.jsonToCSV, Streaming.scala:148-161)."""
     lib = _load()
     if lib is None:
         return False

@@ -144,6 +144,15 @@ def _ring_exchange_fill(fill, x_block, counts, c_prev, local_n, axis,
     return out
 
 
+def auto_transposed(local_n: int, resample_comm: str = "distributed") -> bool:
+    """Single source of truth for when the transposed [d, local_n] fast
+    path (Pallas local fills) applies: TPU backend, kernel-tile-divisible
+    shard size, distributed resampling."""
+    return (jax.default_backend() == "tpu"
+            and resample_comm == "distributed"
+            and local_n % 1024 == 0)
+
+
 def _systematic_window_counts(w_local, key, axis: str):
     """Shared window machinery of the distributed systematic resampler.
 
@@ -629,9 +638,7 @@ def sharded_bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
             f"resample_comm={resample_comm!r}: 'distributed' or 'allgather'")
     local_n = n_particles // max(mesh.shape[axis], 1)
     if transposed is None:
-        transposed = (jax.default_backend() == "tpu"
-                      and resample_comm == "distributed"
-                      and local_n % 1024 == 0)
+        transposed = auto_transposed(local_n, resample_comm)
     if transposed and resample_comm != "distributed":
         raise ValueError("transposed=True requires resample_comm="
                          f"'distributed' (got {resample_comm!r})")

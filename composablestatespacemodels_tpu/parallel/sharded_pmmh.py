@@ -26,7 +26,7 @@ from ..models.model import Model
 from ..models.tree import Tree
 from ..utils.data import TimeSeries
 from .mesh import CHAIN_AXIS, PARTICLE_AXIS
-from .sharded_filter import _sharded_scan, _sharded_scan_t
+from .sharded_filter import _sharded_scan, _sharded_scan_t, auto_transposed
 
 _INIT_LL = -1e30
 
@@ -107,8 +107,7 @@ def sharded_pmmh(model: Model, init_params: Tree, data: TimeSeries,
     model.validate_params(init_params)
     if transposed is None:
         local_n = n_particles // max(mesh.shape[PARTICLE_AXIS], 1)
-        transposed = (jax.default_backend() == "tpu"
-                      and local_n % 1024 == 0)
+        transposed = auto_transposed(local_n)
     return _sharded_pmmh_impl(model, init_params, data, n_particles, key,
                               n_iters, mesh, proposal, prior, log_transition,
                               transposed=transposed)

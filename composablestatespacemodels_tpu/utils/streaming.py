@@ -70,9 +70,13 @@ class OnlineFilter:
         self._filter = bootstrap_filter
         key, k_init = jax.random.split(key)
         self._key = key
-        self.particles = model.initial_state(params, k_init, (n_particles,))
-        self.t = jnp.asarray(t0, self.particles.dtype)
-        self.ll = jnp.asarray(0.0, self.particles.dtype)
+        # the initial cloud is drawn by the first step's filter call
+        # (initial_state=None): on a mesh that happens per shard inside
+        # shard_map, so no host ever materialises the full [N, d] cloud
+        self.particles = None
+        dtype = jnp.result_type(float)
+        self.t = jnp.asarray(t0, dtype)
+        self.ll = jnp.asarray(0.0, dtype)
         self.n_observed = 0
 
     def step(self, chunk: TimeSeries):
