@@ -31,8 +31,11 @@ def _cumsum(w):
     On TPU this is a Pallas MXU kernel (:mod:`..ops.scan_kernel`):
     XLA's ``associative_scan`` costs ~1.65 ms at N=2^20 f32 on a v5e
     (its ``cumsum`` lowering another ~14x worse), the blocked matmul
-    prefix ~0.05 ms.  Elsewhere (CPU tests, interpret mode, f64) the
-    log-depth ``associative_scan``.
+    prefix ~0.05 ms.  The kernel wins at EVERY size: gating small N to
+    ``associative_scan`` was measured 20% SLOWER end-to-end on the
+    reference-shaped PMMH bench (N=100: 42 vs 53 iters/s) -- the padded
+    one-tile launch still beats the log-depth unaligned-slice lowering.
+    Elsewhere (CPU tests, interpret mode, f64) the ``associative_scan``.
     """
     if (jax.default_backend() == "tpu" and w.ndim == 1
             and w.dtype == jnp.float32):
