@@ -2,15 +2,13 @@ from . import filter as filter_mod
 from . import interpolation, kalman, lgcp, pmmh, resampling
 from .filter import (FilterResult, Forecast, PfSummary, bootstrap_filter,
                      credible_interval_eta, credible_interval_state, forecast,
-                     forecast_times, log_likelihood)
+                     forecast_from_posterior, forecast_times, log_likelihood)
 from .interpolation import InterpolationResult, interpolation_filter
 from .kalman import KalmanResult, kalman_filter
 from .lgcp import LgcpResult, lgcp_filter
 from .pmmh import (PmmhResult, PmmhState, effective_chain_size, flat_prior,
                    gelman_rubin, make_pf_loglik, pilot_run, pmmh_chains,
                    symmetric_transition)
-from . import pmmh  # keep the module binding (the bare function is exported
-                    # at the top-level package as ``cssm.pmmh``)
 from .resampling import (effective_sample_size, exp_normalise,
                          identity_indices, multinomial_indices, resample,
                          residual_indices, stratified_indices,
@@ -24,7 +22,7 @@ __all__ = [
     "lgcp_filter", "LgcpResult",
     "interpolation_filter", "InterpolationResult",
     "bootstrap_filter", "log_likelihood", "FilterResult", "PfSummary",
-    "Forecast", "forecast", "forecast_times",
+    "Forecast", "forecast", "forecast_times", "forecast_from_posterior",
     "credible_interval_eta", "credible_interval_state",
     "kalman_filter", "KalmanResult",
     "systematic_indices", "stratified_indices", "multinomial_indices",

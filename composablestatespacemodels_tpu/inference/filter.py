@@ -162,14 +162,15 @@ def _make_save_fn_t(model: Model, store, interval: float):
             s = jnp.sort(x_t, axis=1)
             mean = jnp.mean(x_t, axis=1)
             s_lo, s_hi = s[:, n - k - 1], s[:, k - 1]
-            etas = model.link(model.f_t(x_t, t))
+            etas = model.link(model.f_t(x_t, t))   # [N] even when transposed
             eta_mean = model.link(model.f(mean, t))
-            es = jnp.sort(etas)
-            e_lo, e_hi = es[n - k], es[min(k, n - 1)]
+            e_lo, e_hi = credible_interval_eta(etas, interval)
             return (eta_mean, e_lo, e_hi, mean, s_lo, s_hi)
         return save
     if callable(store):
-        return store
+        # preserve the documented (t, particles [N, d], key) contract: the
+        # transposed scan would otherwise hand the callable [d, N] columns
+        return lambda t, x_t, key: store(t, x_t.T, key)
     raise ValueError(f"unknown store mode {store!r}")
 
 
@@ -373,7 +374,10 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
       n_particles: N.
       key: PRNG key.
       resample: 'systematic' | 'stratified' | 'multinomial' | 'residual' |
-        'identity' or a custom ``(key, weights) -> indices`` kernel.
+        'identity' or a custom ``(key, weights) -> indices`` kernel; on
+        TPU, 'systematic-pallas' runs the whole scan in transposed [d, N]
+        layout with the merge-gather resampling kernel (the headline perf
+        path; requires N divisible by 1024 -- see ops/resample_kernel.py).
       t0: filter start time (default: time of the first observation, as the
         reference ``llFilter``/``filter``, ParticleFilter.scala:137-158).
       initial_state: optional fixed initial state ``[d]`` (FilterInit) or a

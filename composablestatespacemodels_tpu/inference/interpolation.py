@@ -70,7 +70,7 @@ def _interp_impl(model: Model, params: Tree, data: TimeSeries,
     n = n_particles
 
     def step(carry, inp):
-        x, t_prev, ll = carry
+        x, t_prev, ll, ess = carry
         t, y, mask, k = inp
         k_prop, k_res = jax.random.split(k)
 
@@ -83,19 +83,21 @@ def _interp_impl(model: Model, params: Tree, data: TimeSeries,
         w = jnp.exp(logw - maxw)
         ll1 = ll + jnp.where(mask, maxw + jnp.log(jnp.mean(w)), 0.0)
         wn = w / jnp.sum(w)
-        ess = jnp.where(mask,
-                        jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32),
-                        jnp.asarray(n, jnp.int32))
+        # missing observation => ESS unchanged (ParticleFilter.scala:120-121,
+        # as filter._filter_impl), not reset to n
+        ess1 = jnp.where(
+            mask, jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32), ess)
 
         idx = jnp.where(mask, resample_fn(k_res, w), jnp.arange(n))
         x2 = x1[idx]
         # store pre-resample states + the genealogy indices
-        return (x2, t, ll1), (x1, idx, ll1, ess)
+        return (x2, t, ll1, ess1), (x1, idx, ll1, ess1)
 
     keys = jax.random.split(k_scan, data.ts.shape[0])
     t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
-    init = (particles, t_start, jnp.asarray(0.0, dtype))
-    (_, _, ll), (xs_pre, anc, ll_hist, ess_hist) = jax.lax.scan(
+    init = (particles, t_start, jnp.asarray(0.0, dtype),
+            jnp.asarray(n, jnp.int32))
+    (_, _, ll, _), (xs_pre, anc, ll_hist, ess_hist) = jax.lax.scan(
         step, init, (data.ts, data.ys, data.mask, keys))
 
     # -- backward genealogy reconstruction -------------------------------

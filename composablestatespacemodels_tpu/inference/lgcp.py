@@ -72,7 +72,10 @@ def _lgcp_impl(model: Model, params: Tree, data: TimeSeries,
         ParticleFilter.scala:184-208: the integral sums n = ceil(dt/h)
         evaluations starting AT the previous state; the returned state has
         advanced n-1 fine steps."""
-        n_sub = jnp.ceil(dt / h).astype(jnp.int32)
+        # clamp: the device f32 quotient can land one ulp above the host
+        # double used to size max_substeps (e.g. h=0.01 is inexact in f32),
+        # which would otherwise silently drop the final hazard term
+        n_sub = jnp.minimum(jnp.ceil(dt / h), max_substeps).astype(jnp.int32)
 
         def body(carry, inp):
             x, hz = carry

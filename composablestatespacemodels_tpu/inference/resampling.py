@@ -94,12 +94,15 @@ def _ancestors_from_counts(counts, n_out: int):
     return jax.lax.associative_scan(jnp.maximum, seed)
 
 
-def systematic_indices(key, weights, n: int | None = None):
-    """Systematic resampling: one uniform, n evenly spaced positions.
+def systematic_counts(key, weights, n: int | None = None):
+    """Monotone cumulative position counts for systematic resampling.
 
-    Positions are affine in the slot index, so the position count below each
-    cdf entry is closed-form: ``counts[i] = clip(ceil(n*cdf[i] - u), 0, n)``
-    -- no search at all.  Reference semantics: Resampling.scala:63-72.
+    Positions are affine in the slot index, so the position count below
+    each cdf entry is closed-form: ``counts[i] = clip(ceil(n*cdf[i] - u),
+    0, n)`` -- no search at all.  Reference semantics:
+    Resampling.scala:63-72.  The SINGLE producer for both the XLA
+    (``systematic_indices``) and Pallas merge-kernel paths, which are
+    bit-compared against each other.
     """
     m = weights.shape[0]
     n = m if n is None else n
@@ -107,11 +110,11 @@ def systematic_indices(key, weights, n: int | None = None):
     u = jax.random.uniform(key, (), weights.dtype)
     counts = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
     counts = counts.at[-1].set(n)  # guard against cdf[-1] < 1 rounding
-    return _ancestors_from_counts(_monotone_counts(counts), n)
+    return _monotone_counts(counts)
 
 
-def stratified_indices(key, weights, n: int | None = None):
-    """Stratified resampling: one uniform per stratum.
+def stratified_counts(key, weights, n: int | None = None):
+    """Monotone cumulative position counts for stratified resampling.
 
     Position j lives in [j/n, (j+1)/n), so the count below cdf value c is
     ``k + (u[k] < n*c - k)`` with ``k = floor(n*c)`` -- elementwise, no
@@ -127,7 +130,21 @@ def stratified_indices(key, weights, n: int | None = None):
     extra = (u[k_safe] < (v - k)).astype(jnp.int32)
     counts = jnp.clip(jnp.where(k >= n, n, k + extra), 0, n)
     counts = counts.at[-1].set(n)
-    return _ancestors_from_counts(_monotone_counts(counts), n)
+    return _monotone_counts(counts)
+
+
+def systematic_indices(key, weights, n: int | None = None):
+    """Systematic resampling ancestors (Resampling.scala:63-72)."""
+    m = weights.shape[0]
+    n = m if n is None else n
+    return _ancestors_from_counts(systematic_counts(key, weights, n), n)
+
+
+def stratified_indices(key, weights, n: int | None = None):
+    """Stratified resampling ancestors (Resampling.scala:78-86)."""
+    m = weights.shape[0]
+    n = m if n is None else n
+    return _ancestors_from_counts(stratified_counts(key, weights, n), n)
 
 
 def multinomial_indices(key, weights, n: int | None = None):

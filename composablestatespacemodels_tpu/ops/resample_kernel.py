@@ -250,35 +250,11 @@ def sorted_gather_resample(x, counts, block: int = 1024,
     return y_t[:d].T
 
 
-def systematic_counts(key, weights):
-    """Closed-form cumulative position counts for systematic resampling.
-
-    Shares ``_cumsum`` (Pallas MXU prefix on TPU) and the monotone guard
-    with :func:`..inference.resampling.systematic_indices` so the two
-    paths stay bit-identical per backend.
-    """
-    from ..inference import resampling as rs
-
-    n = weights.shape[0]
-    cdf = rs._cumsum(rs._normalise(weights))
-    u = jax.random.uniform(key, (), weights.dtype)
-    counts = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
-    return rs._monotone_counts(counts.at[-1].set(n))
-
-
-def stratified_counts(key, weights):
-    """Closed-form cumulative position counts for stratified resampling."""
-    from ..inference import resampling as rs
-
-    n = weights.shape[0]
-    cdf = rs._cumsum(rs._normalise(weights))
-    u = jax.random.uniform(key, (n,), weights.dtype)
-    v = n * cdf
-    k = jnp.floor(v).astype(jnp.int32)
-    k_safe = jnp.clip(k, 0, n - 1)
-    extra = (u[k_safe] < (v - k)).astype(jnp.int32)
-    counts = jnp.clip(jnp.where(k >= n, n, k + extra), 0, n)
-    return rs._monotone_counts(counts.at[-1].set(n))
+# canonical counts producers live in inference.resampling (one formula for
+# the XLA and Pallas paths, which are bit-compared); re-exported here for
+# the kernel-facing API surface
+from ..inference.resampling import (stratified_counts,  # noqa: E402,F401
+                                    systematic_counts)
 
 
 def systematic_resample_pallas(key, x, weights, block: int = 1024,
