@@ -32,11 +32,6 @@ def logistic(x):
     )
 
 
-def softplus(x):
-    x = jnp.asarray(x)
-    return jnp.logaddexp(x, 0.0)
-
-
 def to_log(value):
     """Constrained positive value -> unconstrained (log) storage."""
     return jnp.log(jnp.asarray(value, dtype=jnp.result_type(float)))

@@ -129,6 +129,11 @@ class Model:
         raise NotImplementedError
 
     def _leftmost_node(self, params: Tree) -> ParamNode:
+        # a bare ParamNode is a valid single-leaf parameter (accepted by
+        # validate_params / sde_params -- the reference's Parameters.apply
+        # leaf ctor, Parameters.scala:20-22)
+        if isinstance(params, ParamNode):
+            return params
         t = params
         while isinstance(t, Branch):
             t = t.left

@@ -171,6 +171,14 @@ def _eq(a, b):
         import numpy as np
 
         aa, bb = np.asarray(a), np.asarray(b)
+        if aa.dtype.kind == "O" or bb.dtype.kind == "O":
+            # structured leaf values (e.g. ParamNode): compare as pytrees
+            # leafwise -- np's object-array equality would raise for
+            # vector-valued fields
+            la, sa = jax.tree_util.tree_flatten(a)
+            lb, sb = jax.tree_util.tree_flatten(b)
+            return sa == sb and len(la) == len(lb) and all(
+                _eq(x, y) for x, y in zip(la, lb))
         return aa.shape == bb.shape and bool(np.all(aa == bb))
     except Exception:
         return a == b
@@ -186,6 +194,13 @@ def _hash_value(v):
         import numpy as np
 
         a = np.asarray(v)
+        if a.dtype.kind == "O":
+            # structured leaf values (e.g. ParamNode): hash as a pytree of
+            # numeric leaves (object-array bytes would hash raw pointers,
+            # splitting equal values into different buckets)
+            leaves, treedef = jax.tree_util.tree_flatten(v)
+            return hash((str(treedef),
+                         tuple(_hash_value(x) for x in leaves)))
         if a.dtype.kind in "fiub":
             a = a.astype(np.float64)
         elif a.dtype.kind == "c":

@@ -247,11 +247,11 @@ def posterior_to_csv(json_path: str, csv_path: str, template: Tree) -> None:
     device dispatch per row); rows go through the native C++ matrix writer
     when available.
     """
-    from jax.flatten_util import ravel_pytree
+    from ..models.params import stack_flat
 
     stacked, lls, _ = read_posterior_json(json_path)
     names = param_names(template)
-    flat = jax.vmap(lambda p: ravel_pytree(p)[0])(stacked)     # [n, k]
+    flat = stack_flat(stacked)                                 # [n, k]
     mat = np.column_stack([np.asarray(flat),
                            np.asarray(lls)[:, None]]).astype(np.float64)
     header = ",".join(names + ["ll"])
@@ -289,19 +289,24 @@ def write_filter_json(path: str, result, ts=None) -> None:
     s = result.summary
     if s is None:
         raise ValueError("write_filter_json needs store='summary' output")
-    n = int(s.ts.shape[0])
+    # host-convert every field ONCE (per-row device indexing costs a
+    # dispatch per field per row -- see write_posterior_json)
+    ts_, eta, e_lo, e_hi, sm, sl, su, ess, llh = (
+        np.asarray(x) for x in (s.ts, s.eta_mean, s.eta_lower, s.eta_upper,
+                                s.state_mean, s.state_lower, s.state_upper,
+                                result.ess, result.ll_history))
+    n = int(ts_.shape[0])
     with open(path, "w") as f:
         for i in range(n):
             f.write(json.dumps({
-                "time": float(s.ts[i]),
-                "eta": float(s.eta_mean[i]),
-                "etaIntervals": [float(s.eta_lower[i]),
-                                 float(s.eta_upper[i])],
-                "state": [float(v) for v in np.asarray(s.state_mean[i])],
-                "stateLower": [float(v) for v in np.asarray(s.state_lower[i])],
-                "stateUpper": [float(v) for v in np.asarray(s.state_upper[i])],
-                "ess": int(result.ess[i]),
-                "ll": float(result.ll_history[i]),
+                "time": float(ts_[i]),
+                "eta": float(eta[i]),
+                "etaIntervals": [float(e_lo[i]), float(e_hi[i])],
+                "state": [float(v) for v in sm[i]],
+                "stateLower": [float(v) for v in sl[i]],
+                "stateUpper": [float(v) for v in su[i]],
+                "ess": int(ess[i]),
+                "ll": float(llh[i]),
             }) + "\n")
 
 

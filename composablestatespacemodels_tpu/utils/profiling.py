@@ -34,23 +34,37 @@ def trace(log_dir: str):
 
 
 def _sync(value):
-    """Force completion: reduce to a scalar and pull it to the host."""
+    """Force completion: pull one scalar per output leaf to the host
+    (scalar readback beats ``block_until_ready``, which remote tunnels can
+    turn into a no-op; touching every leaf avoids declaring done while
+    other outputs are still in flight)."""
     leaves = jax.tree_util.tree_leaves(value)
-    return float(jnp.sum(leaves[0].ravel()[0])) if leaves else 0.0
+    return sum(float(jnp.sum(x.ravel()[:1])) for x in leaves)
 
 
 def time_fn(fn: Callable, *args, repeats: int = 5, warmup: int = 2,
-            **kwargs):
+            make_args: Callable = None, **kwargs):
     """Median wall-clock seconds of ``fn(*args)`` with host sync.
+
+    Args:
+      make_args: optional ``i -> tuple`` producing fresh positional args
+        per call.  Over the remote-TPU tunnel, repeated IDENTICAL
+        dispatches return cached results instantly (CLAUDE.md), so timed
+        repeats MUST vary an input -- e.g.
+        ``make_args=lambda i: (jax.random.fold_in(key, i),)``.  Without it
+        the repeats reuse ``args`` verbatim and, on such tunnels, measure
+        the relay cache.
 
     Returns ``(median_seconds, all_times)``.
     """
-    for _ in range(warmup):
-        _sync(fn(*args, **kwargs))
+    get = make_args if make_args is not None else (lambda i: args)
+    for i in range(warmup):
+        _sync(fn(*get(-1 - i), **kwargs))
     times = []
-    for _ in range(repeats):
+    for i in range(repeats):
+        a = get(i)
         t0 = time.perf_counter()
-        _sync(fn(*args, **kwargs))
+        _sync(fn(*a, **kwargs))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2], times

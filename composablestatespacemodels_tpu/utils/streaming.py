@@ -32,14 +32,6 @@ from .data import TimeSeries
 # deferred into the functions to break the package-init cycle.
 
 
-def _flat_prior(params):
-    return jnp.asarray(0.0)
-
-
-def _symmetric_transition(frm, to):
-    return jnp.asarray(0.0)
-
-
 class OnlineFilter:
     """Feed observation chunks as they arrive; filtering state persists.
 

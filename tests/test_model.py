@@ -178,3 +178,43 @@ def test_leaf_hash_eq_mixed_types():
     # int/float equal values hash equally
     e, f = leaf(3), leaf(3.0)
     assert e == f and hash(e) == hash(f)
+
+
+def test_bare_param_node_full_surface(key):
+    """A bare ParamNode is a valid single-leaf parameter everywhere the
+    validator accepts it (review finding: obs_scale rejected it)."""
+    from composablestatespacemodels_tpu import (log_likelihood, poisson,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       param_node)
+
+    m = poisson(brownian_motion(1))
+    p = param_node(None, brownian_params(0.0, 1.0, 0.3))
+    m.validate_params(p)
+    sim = simulate_regular(m, p, key, 10)
+    ll = float(log_likelihood(m, p, sim.to_timeseries(), 64, key))
+    assert np.isfinite(ll)
+
+
+def test_leaf_hash_eq_param_node_values():
+    """ParamNode leaves (the library's primary leaf type) satisfy the
+    hash/eq contract, including vector-valued fields."""
+    import numpy as np
+
+    from composablestatespacemodels_tpu.models import (brownian_params, leaf,
+                                                       param_node)
+
+    a = leaf(param_node(0.5, brownian_params(
+        np.asarray([0.0, 0.5]), np.asarray([1.0, 1.0]),
+        np.asarray([1.0, 2.0]))))
+    b = leaf(param_node(0.5, brownian_params(
+        np.asarray([0.0, 0.5]), np.asarray([1.0, 1.0]),
+        np.asarray([1.0, 2.0]))))
+    assert a == b
+    assert hash(a) == hash(b)
+    assert {a: 1}[b] == 1
+    c = leaf(param_node(0.5, brownian_params(
+        np.asarray([0.0, 0.6]), np.asarray([1.0, 1.0]),
+        np.asarray([1.0, 2.0]))))
+    assert a != c
