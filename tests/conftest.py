@@ -24,3 +24,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap the suite's peak memory: 300+ tests accumulate gigabytes of
+    compiled executables, and XLA's CPU compiler has been observed to
+    segfault (intermittently, always late in the suite) when compiling
+    large shard_map programs under that pressure.  Compilation caching
+    still applies within each test module."""
+    yield
+    jax.clear_caches()
