@@ -237,6 +237,12 @@ def pilot_run(model: Model, params: Tree, data: TimeSeries, key,
     fans repetitions over 4 threads (Streaming.pilotRun, :19-40); here each
     count's repetitions are one ``vmap``.
 
+    Note: each particle count is a distinct static shape, so the filter
+    compiles once *per count* (len(particle_counts) compiles).  That is
+    inherent to fixed-shape XLA programs and is a one-off diagnostic cost;
+    keep ``particle_counts`` short on backends with slow compiles (remote
+    TPU: ~40s+ per shape).
+
     Returns a list of ``(n_particles, mean_ll, var_ll)``.
     """
     out = []
@@ -255,6 +261,10 @@ def gelman_rubin(chain_values: jnp.ndarray) -> jnp.ndarray:
     (R/Plots.R:97-107); provided natively here.
     """
     m, n = chain_values.shape
+    if m < 2:
+        raise ValueError(
+            f"gelman_rubin needs at least 2 chains, got {m} (shape "
+            f"[n_chains, n_iters])")
     chain_means = jnp.mean(chain_values, axis=1)
     grand = jnp.mean(chain_means)
     b = n / (m - 1) * jnp.sum((chain_means - grand) ** 2)

@@ -33,17 +33,25 @@ P = PartitionSpec
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> bool:
+                           process_id: Optional[int] = None,
+                           auto: bool = False) -> bool:
     """Initialise the JAX distributed runtime if this is a multi-process job.
 
     Arguments default to the standard environment variables
     (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
-    ``JAX_PROCESS_ID``); on TPU pods JAX can also auto-detect all three.
-    A single-process job (no coordinator configured, ``num_processes`` in
-    {None, 1}) is a no-op.
+    ``JAX_PROCESS_ID``).  With ``auto=True`` the call is forwarded to
+    ``jax.distributed.initialize()`` with whatever arguments were supplied,
+    letting JAX's cluster auto-detection (TPU pods, SLURM, ...) fill in the
+    rest.  Without ``auto``, a job with no coordinator configured and
+    ``num_processes`` in {None, 1} is a no-op returning False.
 
-    Returns True if the distributed runtime was (already) initialised.
+    Must run before any JAX computation touches the XLA backend (this
+    function deliberately performs no JAX calls before
+    ``jax.distributed.initialize``).  Returns True if the distributed
+    runtime was (already) initialised.
     """
+    from jax._src import distributed as _dist
+
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if num_processes is None:
@@ -53,9 +61,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
 
-    if jax.process_count() > 1:
-        return True  # runtime already up
-    if coordinator_address is None and (num_processes or 1) <= 1:
+    # already-initialised check WITHOUT touching the XLA backend:
+    # jax.process_count() would initialise the backends, after which
+    # jax.distributed.initialize() unconditionally raises
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True
+    if (not auto and coordinator_address is None
+            and (num_processes or 1) <= 1):
         return False
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
@@ -143,6 +155,9 @@ def process_local_chains(n_chains: int) -> range:
     """Indices of the PMMH chains this process owns under
     :func:`hybrid_mesh` layout (for per-host posterior IO)."""
     n_proc = jax.process_count()
+    if n_chains % n_proc:
+        raise ValueError(
+            f"n_chains={n_chains} not a multiple of process count {n_proc}")
     per = n_chains // n_proc
     pid = jax.process_index()
     return range(pid * per, (pid + 1) * per)

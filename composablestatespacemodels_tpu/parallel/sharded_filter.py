@@ -468,7 +468,11 @@ def _make_save_fn_sharded_t(model: Model, store, interval: float,
                     mean, sel[:d, 0], sel[:d, 1])
         return save
     if callable(store):
-        return store
+        # preserve the documented (t, particles [local_n, d], key) contract
+        # across flat/transposed paths (the transposed scan holds [d, local_n]
+        # columns; transposed auto-enables on TPU, so a callable must not see
+        # a backend-dependent layout)
+        return lambda t, x_t, k: store(t, x_t.T, k)
     raise ValueError(f"unknown store mode {store!r}")
 
 

@@ -60,7 +60,6 @@ class OnlineFilter:
         self.mesh = mesh
         from ..inference.filter import bootstrap_filter  # deferred
         self._filter = bootstrap_filter
-        key, k_init = jax.random.split(key)
         self._key = key
         # the initial cloud is drawn by the first step's filter call
         # (initial_state=None): on a mesh that happens per shard inside
