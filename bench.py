@@ -63,7 +63,10 @@ def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
     print(f"simulated T={n_steps} composed seasonal-Poisson series "
           f"(d={model.dim}) on {jax.devices()[0].platform}", file=sys.stderr)
 
-    resample = ("systematic-pallas"
+    # fused = resample + next-step propagate in one Pallas kernel (in-kernel
+    # Box-Muller noise); statistically equivalent to 'systematic-pallas',
+    # measured faster (one HBM round-trip of the cloud less per step)
+    resample = ("systematic-pallas-fused"
                 if on_tpu and n_particles % 1024 == 0
                 else "systematic")
     print(f"resampling scheme: {resample} "
@@ -156,6 +159,40 @@ def bench_pmmh(n_particles: int = 100, n_obs: int = 400,
     return rate
 
 
+def bench_pmmh_chains(n_chains: int = 64, n_particles: int = 100,
+                      n_obs: int = 400, n_iters: int = 200) -> float:
+    """Secondary recorded metric: AGGREGATE chains x iterations/sec of
+    vmapped PMMH chains.  One tiny chain (the reference shape) uses ~0.4%
+    of the chip; batching independent chains with vmap is how the MCMC
+    workload actually exploits the hardware (pmmh_chains,
+    inference/pmmh.py; the reference's mapAsync(2) thread parallelism,
+    DetermineParameters.scala:68-69, scaled to the TPU)."""
+    from composablestatespacemodels_tpu.models import perturb
+
+    model, params = flagship_model()
+    key = jax.random.PRNGKey(0)
+    sim = cssm.simulate_regular(model, params, key, n_obs, dt=1.0)
+    pf_ll = cssm.make_pf_loglik(model, sim.to_timeseries(), n_particles)
+
+    def run(k):
+        return cssm.pmmh_chains(k, params, pf_ll, perturb(0.05), n_iters,
+                                n_chains).lls[:, -1]
+
+    float(jnp.sum(run(key)))
+    best = float("inf")
+    for i in range(2):
+        k = jax.random.fold_in(key, i + 1)
+        t0 = time.perf_counter()
+        float(jnp.sum(run(k)))
+        best = min(best, time.perf_counter() - t0)
+    rate = n_chains * n_iters / best
+    print(f"PMMH chains: {rate:.1f} aggregate chain-iters/s at "
+          f"{n_chains} chains x N={n_particles}, T={n_obs} "
+          f"({rate * n_particles * n_obs:.2e} particle-steps/s inside MCMC)",
+          file=sys.stderr)
+    return rate
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes")
@@ -189,6 +226,8 @@ def main():
     }
     if (args.pmmh or not args.smoke) and not args.no_secondary:
         result["pmmh_iters_per_sec"] = round(bench_pmmh(), 1)
+        result["pmmh_chains_aggregate_iters_per_sec"] = round(
+            bench_pmmh_chains(), 1)
         result["sharded_particle_steps_per_sec"] = round(bench_sharded(n))
     print(json.dumps(result))
 

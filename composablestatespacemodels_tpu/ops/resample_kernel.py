@@ -47,29 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def _merge_kernel(first_ref, last_ref, base_ref,
-                  c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm, out_ref,
-                  cblk, xblk, sem_c, sem_x):
-    """Grid: (n_out_blocks,).
-
-    Scalar-prefetch: first/last input-block index and entering count per
-    output block.  The first TWO input blocks each output block may need
-    arrive through auto-pipelined BlockSpecs whose index maps read the
-    prefetched ``first`` array (``c0_blk``/``x0_blk`` at ``first[g]``,
-    ``c1_blk``/``x1_blk`` at ``first[g]+1``): an output block's B ancestors
-    almost always straddle one input-block boundary, so serving two
-    pipelined blocks removes the serial in-kernel DMA round-trip that
-    otherwise runs for ~every block (measured 2.65 -> ~1.3 ms/step at
-    N=2^20).  Serving an unneeded second block is a no-op (its ``active``
-    mask is empty).  Spans of three or more input blocks (offspring
-    concentration) fall back to manual DMAs from ``c_hbm``/``xt_hbm``.
-
-    c_hbm [n_in, 128, C] int32: column m of a block holds entries
-    [128*m, 128*(m+1)), lane-padded to C >= 128.  out_ref is the g-th
-    [d, B] output block in VMEM.
-
-    Scratch: cblk [128, C] int32, xblk [d, B], two DMA semaphores.
-    """
+def _merge_kernel_body(serve_args, out_ref):
+    """Shared merge-gather body (see :func:`_merge_kernel` docstring)."""
+    (first_ref, last_ref, base_ref,
+     c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm,
+     cblk, xblk, sem_c, sem_x) = serve_args
     g = pl.program_id(0)
     d, block = out_ref.shape
     n_chunks = block // _LANE
@@ -82,16 +64,7 @@ def _merge_kernel(first_ref, last_ref, base_ref,
     def serve(c_at, x_at, prev_cmax):
         cmax = c_at[_LANE - 1, n_chunks - 1]
 
-        # block-local ancestor = #entries <= q, two-level (counts are sorted
-        # within and across the packed columns):
-        #   level 1 -- boundary chunk h = #chunk-maxima <= q, from n_chunks
-        #   scalar VMEM loads broadcast against the lane-oriented q row
-        #   (chunk m's max is its last sublane, row 127 of column m);
-        #   level 2 -- gather chunk h's 128-entry column per slot and count
-        #   entries <= q inside it.  Chunks below h contribute all 128
-        #   entries, chunks above h none, so hi == h and lo == inner count
-        #   directly (chunk h's max is > q, hence inner <= 127).  This does
-        #   ONE [128, B] compare instead of n_chunks of them.
+        # block-local ancestor = #entries <= q, two-level (see _merge_kernel)
         h = jnp.zeros((1, block), jnp.int32)
         for m in range(n_chunks):
             h = h + (c_at[_LANE - 1, m] <= q_row).astype(jnp.int32)
@@ -128,10 +101,65 @@ def _merge_kernel(first_ref, last_ref, base_ref,
 
         return cmax
 
-    # common case: two auto-pipelined input blocks (no in-kernel DMA);
-    # the second serve writes nothing when the span is one block
-    prev = serve(c0_blk[0], x0_blk, base_ref[g])
-    prev = serve(c1_blk[0], x1_blk, prev)
+    # common case: the two auto-pipelined input blocks served as ONE
+    # combined 2-block window -- a single two-level counting pass over
+    # 2*n_chunks chunks instead of two full serves (the second serve
+    # repeated the whole per-slot count for slots the first had already
+    # filled; measured ~10-15% of the kernel).  When first[g] is the last
+    # input block the pipelined second block aliases the first: its
+    # chunk-maxima contributions are masked out (`valid2`), which makes
+    # hi < n_chunks everywhere active, so the duplicate columns are never
+    # selected.
+    c0 = c0_blk[0]
+    c1 = c1_blk[0]
+    valid2 = (first_ref[g] + 1) <= (pl.num_programs(0) - 1)
+    cmax0 = c0[_LANE - 1, n_chunks - 1]
+    cmax1 = c1[_LANE - 1, n_chunks - 1]
+    cmax_eff = jnp.where(valid2, cmax1, cmax0)
+
+    h = jnp.zeros((1, block), jnp.int32)
+    for m in range(n_chunks):
+        h = h + (c0[_LANE - 1, m] <= q_row).astype(jnp.int32)
+    h2 = jnp.zeros((1, block), jnp.int32)
+    for m in range(n_chunks):
+        h2 = h2 + (c1[_LANE - 1, m] <= q_row).astype(jnp.int32)
+    h = h + jnp.where(valid2, h2, 0)
+    hi = jnp.minimum(h, 2 * n_chunks - 1)                        # [1, B]
+
+    # boundary-chunk inner count: one gather per source block + select
+    hi_sel = jnp.broadcast_to(hi, (_LANE, block))
+    pieces = []
+    for j in range(n_chunks):
+        sl = slice(j * _LANE, (j + 1) * _LANE)
+        hs = hi_sel[:, sl]
+        cs0 = jnp.take_along_axis(c0[:, :_LANE],
+                                  jnp.clip(hs, 0, _LANE - 1), axis=1)
+        cs1 = jnp.take_along_axis(c1[:, :_LANE],
+                                  jnp.clip(hs - n_chunks, 0, _LANE - 1),
+                                  axis=1)
+        csel = jnp.where(hs < n_chunks, cs0, cs1)                # [128, 128]
+        pieces.append(jnp.sum(
+            (csel <= q_row[:, sl]).astype(jnp.int32), axis=0, keepdims=True))
+    lo1 = pieces[0] if n_chunks == 1 else jnp.concatenate(pieces, axis=1)
+
+    active = q_row < cmax_eff   # q >= base_ref[g] holds by construction
+    lo = jnp.broadcast_to(lo1, (d, block))
+    hi_b = jnp.broadcast_to(hi, (d, block))
+    act_b = jnp.broadcast_to(active, (d, block))
+    for k in range(n_chunks):
+        sl = slice(k * _LANE, (k + 1) * _LANE)
+        idx_k = lo[:, sl]
+        hi_k = hi_b[:, sl]
+        acc = jnp.zeros((d, _LANE), out_ref.dtype)
+        for gsrc in range(n_chunks):
+            src = x0_blk[:, gsrc * _LANE:(gsrc + 1) * _LANE]
+            part = jnp.take_along_axis(src, idx_k, axis=1)
+            acc = jnp.where(hi_k == gsrc, part, acc)
+        for gsrc in range(n_chunks):
+            src = x1_blk[:, gsrc * _LANE:(gsrc + 1) * _LANE]
+            part = jnp.take_along_axis(src, idx_k, axis=1)
+            acc = jnp.where(hi_k == n_chunks + gsrc, part, acc)
+        out_ref[:, sl] = jnp.where(act_b[:, sl], acc, out_ref[:, sl])
 
     # rare extras: manual sequential DMA per additional input block
     def body(j, prev_cmax):
@@ -144,7 +172,169 @@ def _merge_kernel(first_ref, last_ref, base_ref,
         xp.wait()
         return serve(cblk, xblk, prev_cmax)
 
-    jax.lax.fori_loop(first_ref[g] + 2, last_ref[g] + 1, body, prev)
+    jax.lax.fori_loop(first_ref[g] + 2, last_ref[g] + 1, body, cmax_eff)
+
+
+def _merge_kernel(first_ref, last_ref, base_ref,
+                  c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm, out_ref,
+                  cblk, xblk, sem_c, sem_x):
+    """Grid: (n_out_blocks,).
+
+    Scalar-prefetch: first/last input-block index and entering count per
+    output block.  The first TWO input blocks each output block may need
+    arrive through auto-pipelined BlockSpecs whose index maps read the
+    prefetched ``first`` array (``c0_blk``/``x0_blk`` at ``first[g]``,
+    ``c1_blk``/``x1_blk`` at ``first[g]+1``): an output block's B ancestors
+    almost always straddle one input-block boundary, so serving two
+    pipelined blocks removes the serial in-kernel DMA round-trip that
+    otherwise runs for ~every block (measured 2.65 -> ~1.3 ms/step at
+    N=2^20).  Serving an unneeded second block is a no-op (its ``active``
+    mask is empty).  Spans of three or more input blocks (offspring
+    concentration) fall back to manual DMAs from ``c_hbm``/``xt_hbm``.
+
+    c_hbm [n_in, 128, C] int32: column m of a block holds entries
+    [128*m, 128*(m+1)), lane-padded to C >= 128.  out_ref is the g-th
+    [d, B] output block in VMEM.
+
+    Scratch: cblk [128, C] int32, xblk [d, B], two DMA semaphores.
+
+    Two-level in-block counting: level 1 -- boundary chunk h = #chunk-maxima
+    <= q, from n_chunks scalar VMEM loads broadcast against the
+    lane-oriented q row (chunk m's max is its last sublane, row 127 of
+    column m); level 2 -- gather chunk h's 128-entry column per slot and
+    count entries <= q inside it.  Chunks below h contribute all 128
+    entries, chunks above h none, so hi == h and lo == inner count directly
+    (chunk h's max is > q, hence inner <= 127).  This does ONE [128, B]
+    compare instead of n_chunks of them.
+    """
+    _merge_kernel_body(
+        (first_ref, last_ref, base_ref, c0_blk, x0_blk, c1_blk, x1_blk,
+         c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
+
+
+def _merge_propagate_kernel(first_ref, last_ref, base_ref, seed_ref,
+                            coef_blk, c0_blk, x0_blk, c1_blk, x1_blk,
+                            c_hbm, xt_hbm, out_ref,
+                            cblk, xblk, sem_c, sem_x):
+    """Merge-gather resample fused with a diagonal affine-Gaussian
+    transition applied to the output block while it is still in VMEM:
+
+        out = a * out + b + s * z,   z ~ N(0, 1)
+
+    with ``coef_blk`` [d, 3] holding columns (a, b, s) and ``z`` drawn
+    in-kernel (per-core PRNG seeded from ``seed_ref[0]`` xor the block id,
+    Box-Muller over 24-bit uniforms).  This is the reference's
+    propagate-after-resample step (Sde.scala:142-150 exact transitions;
+    Resampling.scala:63-72 resampling) with the next step's propagation
+    folded into the resampling kernel's output pipeline: one full HBM
+    read+write of the cloud less per filter step, and the normal draws ride
+    the VPU instead of a separate XLA dispatch.
+    """
+    _merge_kernel_body(
+        (first_ref, last_ref, base_ref, c0_blk, x0_blk, c1_blk, x1_blk,
+         c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
+
+    g = pl.program_id(0)
+    d, block = out_ref.shape
+    pltpu.prng_seed(seed_ref[0], g)
+    # Box-Muller with full cos+sin pairing: one (log, sqrt, cos, sin)
+    # group yields TWO independent standard normals, halving the VPU
+    # transcendental cost (measured: the dominant cost of the fused tail).
+    # 24-bit uniforms: u1 in (0, 1] (never 0 -- log-safe), u2 in [0, 1);
+    # int32 intermediates (exact below 2^24) because Mosaic's uint32->f32
+    # convert support is spottier than int32->f32.
+    half = block // 2
+    b1 = pltpu.prng_random_bits((d, half))
+    b2 = pltpu.prng_random_bits((d, half))
+    scale = jnp.float32(2.0 ** -24)
+    i1 = pltpu.bitcast(pltpu.bitcast(b1, jnp.uint32) >> 8, jnp.int32)
+    i2 = pltpu.bitcast(pltpu.bitcast(b2, jnp.uint32) >> 8, jnp.int32)
+    u1 = i1.astype(jnp.float32) * scale + jnp.float32(2.0 ** -25)
+    theta = jnp.float32(2.0 * 3.14159265358979) * (
+        i2.astype(jnp.float32) * scale)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+
+    a = coef_blk[:, 0:1]                                          # [d, 1]
+    b = coef_blk[:, 1:2]
+    s = coef_blk[:, 2:3]
+    out_ref[...] = a * out_ref[...] + b + s * z
+
+
+def _merge_prepass(counts, n: int, block: int):
+    """XLA prepass: input-block range + entering count per output block.
+
+    first_g = #blocks whose max count <= g*block (== anc_{gB} // block):
+    a dense [n_blocks, n_blocks] compare over block maxima beats a 20-round
+    binary search over the full counts array.  Also returns the
+    column-packed counts (block j, column m = entries [128m, 128(m+1));
+    lanes padded to >= 128 so the per-block DMA tile stays aligned).
+    """
+    n_blocks = n // block
+    n_chunks = block // _LANE
+    edges = jnp.arange(n_blocks, dtype=jnp.int32) * block
+    blockmax = counts.reshape(n_blocks, block)[:, -1]
+    first = jnp.sum((blockmax[None, :] <= edges[:, None]).astype(jnp.int32),
+                    axis=1)
+    last = jnp.sum(
+        (blockmax[None, :] <= edges[:, None] + (block - 1)).astype(jnp.int32),
+        axis=1)
+    first = jnp.clip(first, 0, n_blocks - 1).astype(jnp.int32)
+    last = jnp.clip(last, 0, n_blocks - 1).astype(jnp.int32)
+    base = jnp.where(first > 0, blockmax[jnp.maximum(first - 1, 0)],
+                     0).astype(jnp.int32)
+
+    c_cols = counts.reshape(n_blocks, n_chunks, _LANE).transpose(0, 2, 1)
+    pad = _LANE - n_chunks
+    if pad > 0:
+        c_cols = jnp.pad(c_cols, ((0, 0), (0, 0), (0, pad)))
+    return first, last, base, c_cols
+
+
+def _merge_specs(d, block, n_chunks, n_prefetch: int, dtype):
+    """Block/scratch specs shared by the plain and fused merge kernels.
+
+    ``n_prefetch`` scalar-prefetch operands precede the tensor operands;
+    index maps therefore take (g, *prefetch_refs) and read the prefetched
+    ``first`` array (always the first prefetch operand).
+    """
+    def im_c0(g, first, *_):
+        return (first[g], 0, 0)
+
+    def im_x0(g, first, *_):
+        return (0, first[g])
+
+    def im_c1(g, first, *_):
+        return (jnp.minimum(first[g] + 1, first.shape[0] - 1), 0, 0)
+
+    def im_x1(g, first, *_):
+        return (0, jnp.minimum(first[g] + 1, first.shape[0] - 1))
+
+    in_specs = [
+        # auto-pipelined first two input blocks per output block
+        pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)), im_c0),
+        pl.BlockSpec((d, block), im_x0),
+        pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)), im_c1),
+        pl.BlockSpec((d, block), im_x1),
+        # raw refs for the rare manual path
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_specs = pl.BlockSpec((d, block), lambda g, *_: (0, g))
+    scratch = [
+        pltpu.VMEM((_LANE, max(n_chunks, _LANE)), jnp.int32),
+        pltpu.VMEM((d, block), dtype),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    return in_specs, out_specs, scratch
+
+
+def _check_block(n: int, block: int):
+    if n % block or block % _LANE or block // _LANE > _LANE:
+        raise ValueError(
+            f"N={n} must be divisible by block={block}, block a multiple "
+            f"of {_LANE} with at most {_LANE} chunks")
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
@@ -160,67 +350,18 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
       interpret: run in Pallas interpreter mode (CPU testing).
     """
     d, n = x_t.shape
-    if n % block or block % _LANE or block // _LANE > _LANE:
-        raise ValueError(
-            f"N={n} must be divisible by block={block}, block a multiple "
-            f"of {_LANE} with at most {_LANE} chunks")
-    n_blocks = n // block
-    n_chunks = block // _LANE
+    _check_block(n, block)
     counts = counts.astype(jnp.int32)
-
-    # XLA prepass: input-block range + entering count per output block.
-    # first_g = #blocks whose max count <= g*block (== anc_{gB} // block):
-    # a dense [n_blocks, n_blocks] compare over block maxima beats a 20-round
-    # binary search over the full counts array.
-    edges = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    blockmax = counts.reshape(n_blocks, block)[:, -1]
-    first = jnp.sum((blockmax[None, :] <= edges[:, None]).astype(jnp.int32),
-                    axis=1)
-    last = jnp.sum(
-        (blockmax[None, :] <= edges[:, None] + (block - 1)).astype(jnp.int32),
-        axis=1)
-    first = jnp.clip(first, 0, n_blocks - 1).astype(jnp.int32)
-    last = jnp.clip(last, 0, n_blocks - 1).astype(jnp.int32)
-    base = jnp.where(first > 0, blockmax[jnp.maximum(first - 1, 0)],
-                     0).astype(jnp.int32)
-
-    # column-packed counts: block j, column m = entries [128m, 128(m+1));
-    # lanes padded to >= 128 so the per-block DMA tile stays aligned
-    c_cols = counts.reshape(n_blocks, n_chunks, _LANE).transpose(0, 2, 1)
-    pad = _LANE - n_chunks
-    if pad > 0:
-        c_cols = jnp.pad(c_cols, ((0, 0), (0, 0), (0, pad)))
+    first, last, base, c_cols = _merge_prepass(counts, n, block)
+    in_specs, out_specs, scratch = _merge_specs(
+        d, block, block // _LANE, 3, x_t.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_blocks,),
-        in_specs=[
-            # auto-pipelined first two input blocks per output block: index
-            # maps read the prefetched `first` array
-            pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)),
-                         lambda g, first, last, base: (first[g], 0, 0)),
-            pl.BlockSpec((d, block),
-                         lambda g, first, last, base: (0, first[g])),
-            pl.BlockSpec(
-                (1, _LANE, max(n_chunks, _LANE)),
-                lambda g, first, last, base:
-                    (jnp.minimum(first[g] + 1, first.shape[0] - 1), 0, 0)),
-            pl.BlockSpec(
-                (d, block),
-                lambda g, first, last, base:
-                    (0, jnp.minimum(first[g] + 1, first.shape[0] - 1))),
-            # raw refs for the rare manual path
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (d, block), lambda g, first, last, base: (0, g)),
-        scratch_shapes=[
-            pltpu.VMEM((_LANE, max(n_chunks, _LANE)), jnp.int32),
-            pltpu.VMEM((d, block), x_t.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
 
     return pl.pallas_call(
@@ -229,6 +370,58 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
     )(first, last, base, c_cols, x_t, c_cols, x_t, c_cols, x_t)
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
+                                       block: int = 1024,
+                                       interpret: bool = False):
+    """Fused resample + diagonal affine-Gaussian propagate, transposed.
+
+    ``y_t[:, j] = a * x_t[:, anc_j] + b + s * z_j`` with z ~ N(0, 1) drawn
+    in-kernel (see :func:`_merge_propagate_kernel`).  Covers every exact
+    reference transition (Brownian/GenBrownian/OU and block-diagonal
+    composites, Sde.scala:86-95/114-123/142-150): the caller supplies
+    ``coef = stack([a, b, s], axis=1)`` [d, 3] from
+    ``Sde.transition_coeffs`` with ``s = sqrt(q)``.
+
+    Args:
+      x_t: [d, N] particle columns (N divisible by ``block``).
+      counts: [N] nondecreasing int32 cumulative position counts.
+      coef: [d, 3] float32 (columns a, b, sqrt(q)).
+      seed: [1] int32 per-step PRNG seed (fold a step counter in upstream;
+        the kernel decorrelates blocks by mixing in the block id).
+      block, interpret: as :func:`sorted_gather_resample_t`.  NB interpret
+      mode's ``prng_random_bits`` yields zeros, so interpreted runs are
+      only meaningful with s == 0 (the zero-noise/identity cases).
+    """
+    d, n = x_t.shape
+    _check_block(n, block)
+    if coef.shape != (d, 3):
+        raise ValueError(f"coef must be [d={d}, 3], got {coef.shape}")
+    counts = counts.astype(jnp.int32)
+    coef = coef.astype(x_t.dtype)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    first, last, base, c_cols = _merge_prepass(counts, n, block)
+    in_specs, out_specs, scratch = _merge_specs(
+        d, block, block // _LANE, 4, x_t.dtype)
+    # coef rides in front of the pipelined tensor operands, whole-array
+    in_specs = [pl.BlockSpec((d, 3), lambda g, *_: (0, 0))] + in_specs
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+
+    return pl.pallas_call(
+        _merge_propagate_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
+        interpret=interpret,
+    )(first, last, base, seed, coef, c_cols, x_t, c_cols, x_t, c_cols, x_t)
 
 
 def sorted_gather_resample(x, counts, block: int = 1024,

@@ -90,6 +90,16 @@ def distributed_systematic_resample(x_local, w_local, key, axis: str,
     """
     idx = jax.lax.axis_index(axis)
     local_n = w_local.shape[0]
+    if jax.lax.axis_size(axis) == 1:
+        # 1-wide particle axis (every single-host user with a trivial
+        # mesh): the global sample IS the local systematic sample -- skip
+        # the window/ring machinery entirely.  systematic_counts consumes
+        # the key identically to _systematic_window_counts (one shared
+        # uniform), so this is bit-identical to the general path.
+        from ..inference.resampling import (_ancestors_from_counts,
+                                            systematic_counts)
+        counts = systematic_counts(key, w_local)
+        return x_local[_ancestors_from_counts(counts, local_n)]
     counts, c_prev = _systematic_window_counts(w_local, key, axis)
     slots = idx * local_n + jnp.arange(local_n)                  # my outputs
 
@@ -217,6 +227,23 @@ def distributed_systematic_resample_t(x_t_local, w_local, key, axis: str,
         pallas_fill = (jax.default_backend() == "tpu"
                        and local_n % 1024 == 0)
 
+    if jax.lax.axis_size(axis) == 1:
+        # 1-wide axis: bit-identical local systematic sample, no ring
+        # (see distributed_systematic_resample)
+        from ..inference.resampling import (_ancestors_from_counts,
+                                            systematic_counts)
+        counts1 = systematic_counts(key, w_local)
+        if pallas_fill:
+            from ..ops.resample_kernel import sorted_gather_resample_t
+            kblock = 2048 if local_n % 2048 == 0 else 1024
+            d_pad1 = (-d) % 8
+            xp = x_t_local
+            if d_pad1:
+                xp = jnp.concatenate(
+                    [xp, jnp.zeros((d_pad1, local_n), xp.dtype)], axis=0)
+            return sorted_gather_resample_t(xp, counts1, block=kblock)[:d]
+        return x_t_local[:, _ancestors_from_counts(counts1, local_n)]
+
     counts, c_prev = _systematic_window_counts(w_local, key, axis)
     slots = idx * local_n + jnp.arange(local_n)                  # my outputs
 
@@ -284,31 +311,14 @@ def _all_gather_systematic_resample(x_local, w_local, key, axis: str):
 
 
 def _kth_smallest_sharded(vals, ks, axis: str):
-    """Exact k-th smallest of a sharded float32 array, per column.
+    """Exact k-th smallest of a sharded float32 array, per column: the
+    shared bisection selector (:func:`..ops.selection.kth_smallest_bits`)
+    with each round's counts psummed over ``axis`` -- 32 small ICI
+    reductions, no gather, no sort."""
+    from ..ops.selection import kth_smallest_bits
 
-    ``vals`` [c, local_n] local slice of c columns; ``ks`` [c, q] 0-indexed
-    order statistics wanted per column.  Returns [c, q] values bit-identical
-    to ``sort(global_column)[k]``.
-
-    Bisection over the 32-bit sortable integer encoding of float32: each of
-    the 32 rounds psums a [c, q] block of strictly-less counts, so the whole
-    selection is 32 small ICI reductions -- no gather, no sort.
-    """
-    b = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.uint32)
-    sign = jnp.uint32(0x80000000)
-    keys = jnp.where((b & sign) != 0, ~b, b | sign)  # order-preserving
-
-    def body(i, lo):
-        cand = lo | (jnp.uint32(1) << (31 - i))
-        cnt = jnp.sum((keys[:, None, :] < cand[:, :, None])
-                      .astype(jnp.int32), axis=-1)               # [c, q]
-        cnt = jax.lax.psum(cnt, axis)
-        return jnp.where(cnt <= ks, cand, lo)
-
-    lo = jax.lax.fori_loop(0, 32, body,
-                           jnp.zeros(ks.shape, jnp.uint32))
-    back = jnp.where((lo & sign) != 0, lo ^ sign, ~lo)
-    return jax.lax.bitcast_convert_type(back, jnp.float32)
+    return kth_smallest_bits(vals.astype(jnp.float32), ks,
+                             psum=lambda c: jax.lax.psum(c, axis))
 
 
 # ---------------------------------------------------------------------------

@@ -202,3 +202,76 @@ def test_counts_are_monotone_after_guard(key):
     assert counts[-1] == n
     counts_s = np.asarray(stratified_counts(key, w))
     assert (np.diff(counts_s) >= 0).all()
+
+
+def test_fused_kernel_zero_noise_matches_unfused(key):
+    """a=1, b=0, s=0 makes the fused transition the identity: output must
+    bit-match the plain merge kernel (interpret mode's PRNG yields zeros,
+    so only the zero-noise tail is meaningful off-TPU; the noisy tail's
+    moments are validated on the real chip via bench/verify drives)."""
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        sorted_gather_resample_propagate_t, sorted_gather_resample_t)
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = 4096, 8
+    x = jax.random.normal(key, (d, n))
+    w = jax.random.uniform(jax.random.fold_in(key, 1), (n,)) + 0.01
+    counts = systematic_counts(jax.random.fold_in(key, 2), w)
+    coef = jnp.stack([jnp.ones(d), jnp.zeros(d), jnp.zeros(d)], axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        y0 = sorted_gather_resample_t(x, counts, block=1024)
+        y1 = sorted_gather_resample_propagate_t(
+            x, counts, coef, jnp.array([5], jnp.int32), block=1024)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_fused_kernel_affine_applied(key):
+    """a/b columns act per state dimension on the resampled block."""
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        sorted_gather_resample_propagate_t, sorted_gather_resample_t)
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = 2048, 8
+    x = jax.random.normal(key, (d, n))
+    w = jax.random.uniform(jax.random.fold_in(key, 1), (n,)) + 0.01
+    counts = systematic_counts(jax.random.fold_in(key, 2), w)
+    a = jnp.arange(1.0, d + 1)
+    b = jnp.linspace(-1.0, 1.0, d)
+    coef = jnp.stack([a, b, jnp.zeros(d)], axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        y0 = sorted_gather_resample_t(x, counts, block=1024)
+        y1 = sorted_gather_resample_propagate_t(
+            x, counts, coef, jnp.array([5], jnp.int32), block=1024)
+    np.testing.assert_allclose(np.asarray(y1),
+                               a[:, None] * np.asarray(y0) + b[:, None],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_filter_structural(key):
+    """'systematic-pallas-fused' runs end-to-end (interpret mode: the
+    in-kernel noise is a deterministic constant, so only structure -- ll
+    finite, shapes, store restriction -- is checked here; statistics are
+    gated on-chip)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from composablestatespacemodels_tpu import (bootstrap_filter, linear,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 15)
+    data = sim.to_timeseries()
+    with pltpu.force_tpu_interpret_mode():
+        res = bootstrap_filter(model, params, data, 1024, key,
+                               resample="systematic-pallas-fused",
+                               store="ll")
+    assert np.isfinite(float(res.ll))
+    assert res.final_particles.shape == (1024, 1)
+    assert res.ess.shape == data.ts.shape
+    assert 1 <= int(jnp.min(res.ess)) <= 1024
+    with pytest.raises(ValueError, match="store='ll'"):
+        bootstrap_filter(model, params, data, 1024, key,
+                         resample="systematic-pallas-fused", store="summary")
