@@ -63,6 +63,23 @@ def _monotone_counts(counts):
     return jax.lax.associative_scan(jnp.maximum, counts)
 
 
+def _monotone_cdf(cdf):
+    """Exact running max of a NONNEGATIVE f32 cdf.
+
+    Needed where an algorithm requires the cdf itself to be sorted (the
+    merged-rank multinomial counts) rather than post-monotonising derived
+    integer counts.  On TPU this reuses the int32 cummax kernel through an
+    order-preserving bitcast: nonnegative IEEE f32 bit patterns order as
+    int32, and int32 max is exact.
+    """
+    if (jax.default_backend() == "tpu" and cdf.ndim == 1
+            and cdf.dtype == jnp.float32):
+        from ..ops.scan_kernel import cummax_int32
+        bits = jax.lax.bitcast_convert_type(cdf, jnp.int32)
+        return jax.lax.bitcast_convert_type(cummax_int32(bits), jnp.float32)
+    return jax.lax.associative_scan(jnp.maximum, cdf)
+
+
 def _lookup(cdf, positions):
     """First index whose cdf >= position (the TreeMap ``.from`` lookup,
     Resampling.scala:36-58)."""
@@ -147,13 +164,57 @@ def stratified_indices(key, weights, n: int | None = None):
     return _ancestors_from_counts(stratified_counts(key, weights, n), n)
 
 
-def multinomial_indices(key, weights, n: int | None = None):
-    """Multinomial resampling: n iid draws from the weight distribution.
+def multinomial_counts(key, weights, n: int | None = None):
+    """Monotone cumulative position counts for multinomial resampling.
 
-    Reference: Resampling.scala:92-96.
+    Multinomial positions are n iid uniforms -- unordered, so no closed
+    form like systematic/stratified.  Instead of a per-position binary
+    search over the cdf (20 rounds of random gathers, ~130 ms at N=1e6 on
+    a v5e), ONE stable argsort of the merged ``[positions, cdf]`` array
+    yields every count: with positions occupying the first n merged slots,
+    the merged rank of ``cdf[i]`` is ``#(positions <= cdf[i]) + i`` (stable
+    sort breaks position/cdf ties position-first, matching the
+    ``side='left'`` lookup; equal cdf entries contribute their index
+    offset exactly because cdf is sorted), hence
+    ``counts[i] = rank(cdf[i]) - i``.
+
+    Same multiset of ancestors as ``_lookup``-based multinomial
+    (Resampling.scala:92-96) for the same key, produced in sorted order.
+
+    The rank identity requires the cdf itself to be sorted, so the f32
+    prefix's ulp dips are corrected on the cdf (``_monotone_cdf``) BEFORE
+    the merge -- a dip would otherwise inflate a neighbouring rank and
+    misassign a boundary draw (post-monotonising the counts cannot fix
+    that: the bad count is too high, not too low).
     """
     m = weights.shape[0]
     n = m if n is None else n
+    cdf = _monotone_cdf(_cumsum(_normalise(weights)))
+    u = jax.random.uniform(key, (n,), weights.dtype)
+    merged = jnp.concatenate([u, cdf])
+    order = jnp.argsort(merged, stable=True)
+    rank = jnp.zeros((n + m,), jnp.int32).at[order].set(
+        jnp.arange(n + m, dtype=jnp.int32))
+    counts = rank[n:] - jnp.arange(m, dtype=jnp.int32)
+    counts = jnp.clip(counts, 0, n).at[-1].set(n)  # cdf[-1] < 1 rounding
+    return _monotone_counts(counts)
+
+
+def multinomial_indices(key, weights, n: int | None = None):
+    """Multinomial resampling: n iid draws from the weight distribution.
+
+    Reference: Resampling.scala:92-96.  On TPU the ancestors are built
+    from :func:`multinomial_counts` (one argsort instead of a
+    ``searchsorted`` binary search -- the search costs ~130 ms at N=1e6 on
+    a v5e, the argsort path a few ms) and are therefore returned *sorted*;
+    the multiset of ancestors is identical for the same key, and particle
+    order is statistically irrelevant to every consumer (ancestors are
+    exchangeable).  Off-TPU keeps the per-position lookup order.
+    """
+    m = weights.shape[0]
+    n = m if n is None else n
+    if jax.default_backend() == "tpu":
+        return _ancestors_from_counts(multinomial_counts(key, weights, n), n)
     cdf = _cumsum(_normalise(weights))
     positions = jax.random.uniform(key, (n,), weights.dtype)
     return _lookup(cdf, positions)
@@ -167,6 +228,13 @@ def residual_indices(key, weights, n: int | None = None):
     (Resampling.scala:130-146).  The dynamic deterministic count K becomes a
     fixed-shape ``repeat(..., total_repeat_length=n)`` plus a positional mask:
     slots < K take deterministic copies, slots >= K take multinomial draws.
+
+    Perf note: the residual fill keeps the per-position ``searchsorted``
+    lookup (the positional slot mask needs per-slot iid draws, so the
+    sorted :func:`multinomial_counts` trick does not apply -- taking the
+    tail of *sorted* draws would bias toward upper order statistics).
+    That lookup costs ~130 ms at N=1e6 on a TPU v5e: at benchmark N prefer
+    'systematic' / 'stratified' (search-free) or 'multinomial'.
     """
     m = weights.shape[0]
     n = m if n is None else n

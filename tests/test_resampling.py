@@ -96,3 +96,51 @@ def test_indices_subsample_size(key):
     w = jax.random.uniform(key, (1000,))
     idx = rs.systematic_indices(key, w, n=100)
     assert idx.shape == (100,)
+
+
+def test_multinomial_counts_match_lookup_multiset(key):
+    """multinomial_counts-based ancestors are the sorted multiset of the
+    per-position searchsorted lookup for the same key (the TPU fast path,
+    Resampling.scala:92-96 semantics)."""
+    for trial in range(5):
+        k = jax.random.fold_in(key, trial)
+        n = 512
+        w = jnp.exp(3.0 * jax.random.normal(k, (n,)))
+        counts = rs.multinomial_counts(k, w)
+        got = rs._ancestors_from_counts(counts, n)
+        # monotonise the reference cdf: the tree-structured f32 prefix sum
+        # can dip by a ulp (see _monotone_counts), which the counts path
+        # corrects and a raw searchsorted would not
+        cdf = jax.lax.associative_scan(
+            jnp.maximum, rs._cumsum(rs._normalise(w)))
+        want = rs._lookup(cdf, jax.random.uniform(k, (n,), w.dtype))
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.sort(np.asarray(want)))
+
+
+def test_multinomial_counts_subsample_and_degenerate(key):
+    w = jnp.zeros((256,)).at[17].set(1.0)
+    counts = rs.multinomial_counts(key, w, n=64)
+    got = rs._ancestors_from_counts(counts, 64)
+    assert got.shape == (64,)
+    np.testing.assert_array_equal(np.asarray(got), 17)
+    # monotone + closing invariants
+    assert int(counts[-1]) == 64
+    assert bool(jnp.all(jnp.diff(counts) >= 0))
+
+
+def test_multinomial_counts_weighted_mean(key):
+    """Distributional check: resampled mean estimates the weighted mean."""
+    n = 4096
+    x = jax.random.normal(key, (n,))
+    w = jnp.exp(jax.random.normal(jax.random.fold_in(key, 1), (n,)))
+    target = jnp.sum(x * w) / jnp.sum(w)
+    keys = jax.random.split(jax.random.fold_in(key, 2), 50)
+
+    def one(k):
+        anc = rs._ancestors_from_counts(rs.multinomial_counts(k, w), n)
+        return jnp.mean(x[anc])
+
+    means = jax.vmap(one)(keys)
+    se = jnp.std(means) / np.sqrt(50)
+    assert abs(float(jnp.mean(means) - target)) < 5 * float(se) + 1e-3
