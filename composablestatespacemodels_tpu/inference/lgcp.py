@@ -7,16 +7,21 @@ cumulative hazard integral sum(exp(f(x_k, t_k)) * h), and weights particles by
     log w = gamma(t) - integral lambda dt      (ParticleFilter.scala:217)
 
 TPU design: the data-dependent number of fine steps ``ceil(dt * 10^p)``
-(ParticleFilter.scala:190) becomes a *static* maximum substep count derived
-from the observation grid on the host, with masked inactive substeps -- the
-inner integral is a fixed-length ``lax.scan`` (SURVEY.md section 7 hard part
-(d)), fully vectorised over the particle axis.
+(ParticleFilter.scala:190) is resolved on the host into ONE flat fine grid
+over the whole series -- the union of every segment's Euler substeps, each
+slot tagged with static flags (hazard-eval / advance-state / observation) --
+and the filter is a single ``lax.scan`` over that grid (SURVEY.md section 7
+hard part (d)), fully vectorised over the particle axis.
+
+Cost is therefore O(sum of gaps / h), not O(T * max_gap / h): event-time
+data has exponential inter-arrival gaps, and the previous per-observation
+``max_substeps``-padded inner scan made every step pay for the largest gap
+(one 10x outlier gap cost 10x on *every* observation).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 
 import jax
@@ -52,85 +57,79 @@ class LgcpResult:
 
 
 @partial(jax.jit, static_argnames=("model", "n_particles", "precision",
-                                   "max_substeps", "resample", "interval"))
-def _lgcp_impl(model: Model, params: Tree, data: TimeSeries,
-               n_particles: int, key, precision: int, max_substeps: int,
-               resample: str, interval: float):
+                                   "resample", "interval"))
+def _lgcp_impl(model: Model, params: Tree, grid, n_particles: int, key,
+               precision: int, resample: str, interval: float):
+    """One flat scan over the union fine grid.
+
+    ``grid`` is the host-built tuple
+    ``(t_eval, hflag, aflag, oflag, t_obs, zflag, obs_idx)`` -- see
+    :func:`lgcp_filter`.  Per slot: hazard eval (``hflag``) at the current
+    state, one Euler-Maruyama advance of ``h`` (``aflag``), and at
+    observation slots (``oflag``) the reference weight/resample step
+    (log w = gamma - integral, ParticleFilter.scala:210-226) under a
+    ``lax.cond`` so non-observation slots skip the resampling gather.
+    """
     from .filter import credible_interval_eta
 
+    t_eval, hflag, aflag, oflag, t_obs, zflag, obs_idx = grid
     resample_fn = rs.get_scheme(resample)
     h = 10.0 ** (-precision)
+    sp = model.sde_params(params)
 
     k_init, k_scan = jax.random.split(key)
     particles = model.initial_state(params, k_init, (n_particles,))
     dtype = particles.dtype
-    n = n_particles
+    d = model.dim
 
-    def hazard_integral(x0, t_prev, dt, k):
-        """Advance particles over the fine grid, returning (last state,
-        gamma at t, cumulative hazard).  Mirrors calcWeight,
-        ParticleFilter.scala:184-208: the integral sums n = ceil(dt/h)
-        evaluations starting AT the previous state; the returned state has
-        advanced n-1 fine steps."""
-        # clamp: the device f32 quotient can land one ulp above the host
-        # double used to size max_substeps (e.g. h=0.01 is inexact in f32),
-        # which would otherwise silently drop the final hazard term
-        n_sub = jnp.minimum(jnp.ceil(dt / h), max_substeps).astype(jnp.int32)
+    def body(carry, inp):
+        x, hz, ll = carry
+        t_ev, hf, af, of, t_ob, zf, k = inp
+        k_em, k_res = jax.random.split(k)
 
-        def body(carry, inp):
-            x, hz = carry
-            k_sub, step_idx = inp
-            active = step_idx < n_sub
-            t_k = t_prev + step_idx.astype(dtype) * h
-            gamma_k = model.f(x, t_k)
-            hz1 = hz + jnp.where(active, jnp.exp(gamma_k) * h, 0.0)
-            x_next = model.sde.step_euler_maruyama(
-                model.sde_params(params), k_sub, x, h)
-            do_step = active & (step_idx < n_sub - 1)
-            x1 = jnp.where(do_step, x_next, x)
-            return (x1, hz1), None
+        # hazard eval at the CURRENT state, then advance: the integral sums
+        # n = ceil(dt/h) evaluations starting AT the previous posterior
+        # state and the state advances n-1 fine steps (calcWeight,
+        # ParticleFilter.scala:184-208)
+        gamma_k = model.f(x, t_ev)
+        hz1 = hz + jnp.where(hf, jnp.exp(gamma_k) * h, 0.0)
+        x_adv = model.sde.step_euler_maruyama(sp, k_em, x, h)
+        x1 = jnp.where(af, x_adv, x)
 
-        keys = jax.random.split(k, max_substeps)
-        steps = jnp.arange(max_substeps)
-        (x_last, hz), _ = jax.lax.scan(
-            body, (x0, jnp.zeros((x0.shape[0],), dtype)), (keys, steps))
-        t_arr = jnp.asarray(t_prev + dt, dtype)
-        return x_last, model.f(x_last, t_arr), hz
+        def obs_case(args):
+            x1, hz1, ll = args
+            gamma = model.f(x1, t_ob)
+            # dt == 0 observation: no integral, flat weights
+            # (ParticleFilter.scala:212-214: gamma - hazard == 0)
+            logw = jnp.where(zf, 0.0, gamma - hz1)          # :217
+            maxw = jnp.max(logw)
+            w = jnp.exp(logw - maxw)
+            ll1 = ll + maxw + jnp.log(jnp.mean(w))
+            wn = w / jnp.sum(w)
+            ess = jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32)
+            x2 = x1[resample_fn(k_res, w)]
+            eta = jnp.exp(gamma)
+            e_lo, e_hi = credible_interval_eta(eta, interval)
+            out = (ll1, ess, jnp.mean(eta), e_lo, e_hi,
+                   jnp.mean(x2, axis=0))
+            return (x2, jnp.zeros_like(hz1), ll1), out
 
-    def step(carry, inp):
-        x, t_prev, ll = carry
-        t, y, mask, k = inp
-        k_sub, k_res = jax.random.split(k)
-        dt = t - t_prev
+        def no_obs(args):
+            x1, hz1, ll = args
+            z = jnp.asarray(0.0, dtype)
+            out = (ll, jnp.asarray(0, jnp.int32), z, z, z,
+                   jnp.zeros((d,), dtype))
+            return (x1, hz1, ll), out
 
-        x1, gamma, hz = hazard_integral(x, t_prev, dt, k_sub)
-        # dt == 0: no integral, weight from the current state
-        # (ParticleFilter.scala:212-214)
-        gamma0 = model.f(x, t)
-        zero_dt = dt <= 0
-        x1 = jnp.where(zero_dt, x, x1)
-        gamma = jnp.where(zero_dt, gamma0, gamma)
-        hz = jnp.where(zero_dt, gamma0, hz)
+        return jax.lax.cond(of, obs_case, no_obs, (x1, hz1, ll))
 
-        logw = gamma - hz                       # :217
-        maxw = jnp.max(logw)
-        w = jnp.exp(logw - maxw)
-        ll1 = ll + maxw + jnp.log(jnp.mean(w))
-        wn = w / jnp.sum(w)
-        ess = jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32)
-
-        idx = resample_fn(k_res, w)
-        x2 = x1[idx]
-
-        eta = jnp.exp(gamma)
-        e_lo, e_hi = credible_interval_eta(eta, interval)
-        out = (ll1, ess, jnp.mean(eta), e_lo, e_hi, jnp.mean(x2, axis=0))
-        return (x2, t, ll1), out
-
-    keys = jax.random.split(k_scan, data.ts.shape[0])
-    init = (particles, data.ts[0], jnp.asarray(0.0, dtype))
-    (xf, _, ll), (ll_hist, ess, em, elo, ehi, sm) = jax.lax.scan(
-        step, init, (data.ts, data.ys, data.mask, keys))
+    keys = jax.random.split(k_scan, t_eval.shape[0])
+    init = (particles, jnp.zeros((n_particles,), dtype),
+            jnp.asarray(0.0, dtype))
+    (xf, _, ll), outs = jax.lax.scan(
+        body, init, (t_eval, hflag, aflag, oflag, t_obs, zflag, keys))
+    # per-observation histories: gather the observation slots
+    ll_hist, ess, em, elo, ehi, sm = tuple(o[obs_idx] for o in outs)
     return LgcpResult(ll, ll_hist, ess, em, elo, ehi, sm, xf)
 
 
@@ -144,13 +143,48 @@ def lgcp_filter(model: Model, params: Tree, data: TimeSeries,
     every datum contributes ``gamma - cumulative_hazard``
     (ParticleFilter.scala:210-226).
 
-    The fine-grid substep count is bounded statically by the largest
-    inter-observation gap, so the whole filter compiles once.
+    The data-dependent fine grids (``ceil(dt/h)`` Euler substeps per
+    inter-observation gap, ParticleFilter.scala:190) are flattened on the
+    host into one union grid with per-slot flags, so total work is
+    O(sum of gaps / h) -- independent of the largest single gap -- and the
+    whole filter compiles once per dataset shape.
     """
     model.validate_params(params)
-    ts = np.asarray(data.ts)
+    grid = _build_fine_grid(np.asarray(data.ts, np.float64), precision)
+    return _lgcp_impl(model, params, grid, n_particles, key, precision,
+                      resample, interval)
+
+
+def _build_fine_grid(ts: np.ndarray, precision: int):
+    """Flatten per-segment Euler substeps into one tagged union grid.
+
+    Returns ``(t_eval, hflag, aflag, oflag, t_obs, zflag, obs_idx)`` of
+    length K = sum over segments of max(ceil(gap/h), 1): per slot the
+    hazard-eval time, whether it contributes a hazard term, whether the
+    state advances afterwards (all but each segment's last substep),
+    whether it is a segment's observation slot, the observation time, and
+    whether the segment is a zero-dt duplicate event; ``obs_idx`` indexes
+    the observation slots for gathering per-observation histories.
+    """
+    n_obs = ts.shape[0]
     h = 10.0 ** (-precision)
-    gaps = np.diff(ts, prepend=ts[0])
-    max_substeps = max(1, int(math.ceil(float(gaps.max()) / h + 1e-9)))
-    return _lgcp_impl(model, params, data, n_particles, key, precision,
-                      max_substeps, resample, interval)
+    prev = np.concatenate([ts[:1], ts[:-1]])
+    gaps = ts - prev
+    # ceil(dt/h) with a tiny backoff so exact multiples of h do not round
+    # up from float error (the reference computes this in double too)
+    n_sub = np.where(gaps > 0,
+                     np.ceil(gaps / h - 1e-9), 0).astype(np.int64)
+    slots = np.maximum(n_sub, 1)          # zero-dt segments still need a slot
+    ends = np.cumsum(slots)
+    seg = np.repeat(np.arange(n_obs), slots)              # [K] obs index
+    j = np.arange(ends[-1]) - np.repeat(ends - slots, slots)  # within-segment
+    n_seg = n_sub[seg]
+
+    f32 = np.float32
+    return (jnp.asarray((prev[seg] + j * h).astype(f32)),  # t_eval
+            jnp.asarray(n_seg > 0),                        # hflag
+            jnp.asarray(j < n_seg - 1),                    # aflag
+            jnp.asarray(j == slots[seg] - 1),              # oflag
+            jnp.asarray(ts[seg].astype(f32)),              # t_obs
+            jnp.asarray(n_seg == 0),                       # zflag
+            jnp.asarray(ends - 1))                         # obs_idx

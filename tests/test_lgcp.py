@@ -87,3 +87,54 @@ def test_lgcp_filter_zero_dt_step(lgcp_model, key):
     data = TimeSeries(ts, jnp.ones_like(ts), jnp.ones(ts.shape, dtype=bool))
     res = lgcp_filter(model, params, data, 100, key, precision=1)
     assert np.isfinite(float(res.ll))
+
+
+def test_fine_grid_cost_is_sum_of_gaps_not_max():
+    """The flat union grid sizes work as O(sum gaps / h): one 10x outlier
+    gap must not multiply every segment's cost (the round-2 design padded
+    every observation to the LARGEST gap's substep count)."""
+    from composablestatespacemodels_tpu.inference.lgcp import _build_fine_grid
+
+    ts = np.concatenate([np.arange(0.0, 10.0, 0.5),      # 20 obs, gaps 0.5
+                         [20.0]])                        # one 10.5 outlier
+    grid = _build_fine_grid(ts, precision=1)
+    k = grid[0].shape[0]
+    # sum of gaps/h: first slot + 19 gaps x 5 substeps + outlier's 105
+    assert k == 1 + 19 * 5 + 105, k
+    # the padded design would have cost T * max_substeps = 21 * 105
+    assert k < 21 * 105 / 8
+    # exactly one obs slot per observation, indices consistent
+    oflag = np.asarray(grid[3])
+    obs_idx = np.asarray(grid[6])
+    assert oflag.sum() == len(ts)
+    assert bool(oflag[obs_idx].all())
+
+
+def test_fine_grid_flags():
+    from composablestatespacemodels_tpu.inference.lgcp import _build_fine_grid
+
+    ts = np.asarray([1.0, 1.0, 1.25])  # first slot, duplicate, 0.25 gap
+    t_eval, hflag, aflag, oflag, t_obs, zflag, obs_idx = map(
+        np.asarray, _build_fine_grid(ts, precision=1))
+    # segments: [zero-dt slot][zero-dt slot][ceil(0.25/0.1)=3 substeps]
+    assert t_eval.shape[0] == 1 + 1 + 3
+    np.testing.assert_array_equal(zflag, [True, True, False, False, False])
+    np.testing.assert_array_equal(hflag, [False, False, True, True, True])
+    # advance after all but each segment's last substep
+    np.testing.assert_array_equal(aflag, [False, False, True, True, False])
+    np.testing.assert_array_equal(oflag, [True, True, False, False, True])
+    np.testing.assert_allclose(t_eval[2:], [1.0, 1.1, 1.2], rtol=1e-6)
+    np.testing.assert_array_equal(obs_idx, [0, 1, 4])
+
+
+def test_lgcp_filter_matches_old_padded_semantics(lgcp_model, key):
+    """Statistical regression: ll on a gappy series is stable and finite
+    across seeds (guards the flat-scan rewrite's hazard bookkeeping)."""
+    model, params = lgcp_model
+    ts = jnp.asarray([0.0, 0.3, 0.35, 1.9, 2.0, 5.0])   # mixed gap sizes
+    data = TimeSeries(ts, jnp.ones_like(ts), jnp.ones(ts.shape, dtype=bool))
+    lls = [float(lgcp_filter(model, params, data, 400,
+                             jax.random.fold_in(key, i), precision=1).ll)
+           for i in range(4)]
+    assert all(np.isfinite(v) for v in lls)
+    assert np.std(lls) < 0.5, lls
