@@ -18,7 +18,7 @@ online Bayesian analysis of streaming data", Stat Comput 28, 2018):
 __version__ = "0.1.0"
 
 from . import inference, models, native, utils
-from .inference import (bootstrap_filter, forecast,
+from .inference import (adaptive_pmmh, bootstrap_filter, forecast,
                         forecast_from_posterior, forecast_times,
                         interpolation_filter, kalman_filter, lgcp_filter,
                         log_likelihood, make_pf_loglik, pilot_run,
@@ -41,7 +41,7 @@ __all__ = [
     "bootstrap_filter", "log_likelihood", "kalman_filter", "forecast",
     "forecast_times", "forecast_from_posterior", "lgcp_filter",
     "interpolation_filter",
-    "pmmh", "pmmh_chains", "make_pf_loglik", "pilot_run",
+    "pmmh", "pmmh_chains", "adaptive_pmmh", "make_pf_loglik", "pilot_run",
     "TimeSeries", "SimulatedData", "simulate", "simulate_regular",
     "simulate_lgcp",
 ]

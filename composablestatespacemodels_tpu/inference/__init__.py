@@ -6,8 +6,9 @@ from .filter import (FilterResult, Forecast, PfSummary, bootstrap_filter,
 from .interpolation import InterpolationResult, interpolation_filter
 from .kalman import KalmanResult, kalman_filter
 from .lgcp import LgcpResult, lgcp_filter
-from .pmmh import (PmmhResult, PmmhState, effective_chain_size, flat_prior,
-                   gelman_rubin, make_pf_loglik, pilot_run, pmmh_chains,
+from .pmmh import (PmmhResult, PmmhState, adaptive_pmmh,
+                   effective_chain_size, flat_prior, gelman_rubin,
+                   make_pf_loglik, pilot_run, pmmh_chains,
                    symmetric_transition)
 from .resampling import (effective_sample_size, exp_normalise,
                          identity_indices, multinomial_indices, resample,
@@ -17,6 +18,7 @@ from .resampling import (effective_sample_size, exp_normalise,
 __all__ = [
     "resampling", "kalman", "pmmh", "lgcp", "interpolation",
     "PmmhResult", "PmmhState", "make_pf_loglik", "pmmh_chains", "pilot_run",
+    "adaptive_pmmh",
     "flat_prior", "symmetric_transition", "gelman_rubin",
     "effective_chain_size",
     "lgcp_filter", "LgcpResult",

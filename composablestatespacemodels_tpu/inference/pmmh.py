@@ -223,6 +223,69 @@ def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
     return run_all(keys, init_params)
 
 
+def adaptive_pmmh(key, init_params: Tree, pf_ll: Callable, n_iters: int, *,
+                  pilot_iters: int = 1000,
+                  pilot_delta: float = 0.05,
+                  burn_in: Optional[int] = None,
+                  thin: int = 2,
+                  scale: Optional[float] = None,
+                  nugget: Optional[float] = None,
+                  prior: Callable = flat_prior,
+                  log_transition: Callable = symmetric_transition,
+                  approx: bool = False,
+                  return_pilot: bool = False):
+    """Two-phase adaptive PMMH.
+
+    Phase 1 runs a pilot chain with an iid Gaussian random walk
+    (``perturb(pilot_delta)``); its thinned posterior sample estimates the
+    parameter covariance (``covariance_params``), and phase 2 runs the main
+    chain with the correlated ``perturb_mvn_eigen(scale * cov)`` proposal
+    starting from the pilot's final state -- the workflow the reference's
+    proposal machinery implies (Parameters.scala:111-123 adaptive MVN
+    proposals fed by Utilities.scala:11-18 sample moments) but never
+    packages.
+
+    Args:
+      key: PRNG key.
+      init_params: pilot chain start.
+      pf_ll: ``(key, params) -> ll`` (see :func:`make_pf_loglik`).
+      n_iters: main-chain length.
+      pilot_iters: pilot-chain length.
+      pilot_delta: pilot random-walk variance per entry.
+      burn_in: pilot burn-in before estimating moments (default: half).
+      thin: pilot thinning for the moment estimate.
+      scale: covariance multiplier; default the optimal random-walk scaling
+        ``2.38^2 / dim`` (Roberts & Rosenthal).
+      nugget: diagonal jitter added to the pilot covariance so a
+        degenerate pilot (few acceptances) cannot freeze the main chain;
+        default ``1e-6 * pilot_delta``.
+      return_pilot: also return the pilot :class:`PmmhResult`.
+
+    Returns the main chain's :class:`PmmhResult` (and the pilot's when
+    ``return_pilot``).
+    """
+    from ..models.params import covariance_params, perturb, perturb_mvn_eigen
+
+    k_pilot, k_main = jax.random.split(key)
+    pilot = pmmh(k_pilot, init_params, pf_ll, perturb(pilot_delta),
+                 pilot_iters, prior=prior, log_transition=log_transition,
+                 approx=approx)
+    b = pilot_iters // 2 if burn_in is None else burn_in
+    kept = pilot.thin(burn_in=b, thin=thin)
+    cov = jnp.atleast_2d(covariance_params(kept.params))
+    dim = cov.shape[0]
+    if scale is None:
+        scale = 2.38 ** 2 / dim
+    if nugget is None:
+        nugget = 1e-6 * pilot_delta
+    cov = scale * cov + nugget * jnp.eye(dim, dtype=cov.dtype)
+
+    last = jax.tree_util.tree_map(lambda x: x[-1], pilot.params)
+    result = pmmh(k_main, last, pf_ll, perturb_mvn_eigen(cov), n_iters,
+                  prior=prior, log_transition=log_transition, approx=approx)
+    return (result, pilot) if return_pilot else result
+
+
 # ---------------------------------------------------------------------------
 # diagnostics (reference Streaming.scala:19-105)
 # ---------------------------------------------------------------------------

