@@ -82,6 +82,42 @@ class Tree:
             )
         return zero
 
+    def flat_map(self, f: Callable[[Any], "Tree"]) -> "Tree":
+        """Substitute each leaf with the tree ``f(value)``.
+
+        Reference: the ``Monad[Tree]`` instance's ``flatMap``
+        (Tree.scala:115-137) -- leaves are replaced by whole subtrees,
+        branches recurse structurally.
+        """
+        if isinstance(self, Leaf):
+            return f(self.value)
+        if isinstance(self, Branch):
+            return Branch(self.left.flat_map(f), self.right.flat_map(f))
+        return self
+
+    def traverse(self, f: Callable[[Any], Any]) -> Any:
+        """Effectful map: ``f`` returns a wrapped value; the results are
+        recombined into a tree inside the effect.
+
+        Reference: Tree.traverse (Tree.scala:87-91).  The reference's
+        effect is any cats Applicative; here the Python analogs: ``f``
+        returning a value => plain map; ``f`` raising => fail-fast
+        (the reference's ``Try``); ``f`` returning None => whole-tree
+        None (the reference's ``Option``).
+        """
+        if isinstance(self, Leaf):
+            v = f(self.value)
+            return None if v is None else Leaf(v)
+        if isinstance(self, Branch):
+            left = self.left.traverse(f)
+            if left is None:
+                return None
+            right = self.right.traverse(f)
+            if right is None:
+                return None
+            return Branch(left, right)
+        return self
+
     def concat(self, other: "Tree") -> "Tree":
         """``+++`` -- graft ``other`` as the right child.  Reference: Tree.scala:18-20."""
         if isinstance(self, EmptyTree):

@@ -111,3 +111,49 @@ def test_add_flat_is_translation(trial):
     np.testing.assert_allclose(np.asarray(flat2),
                                np.asarray(flat + delta), rtol=1e-5,
                                atol=1e-6)
+
+
+# -- monadic ops (Tree.scala:87-91, 115-137) --------------------------------
+
+
+def test_flat_map_left_identity():
+    f = lambda v: branch(leaf(v), leaf(v + 1))
+    assert leaf(3).flat_map(f) == f(3)
+
+
+def test_flat_map_right_identity_random_trees():
+    for seed in range(10):
+        t = random_tree()
+        assert t.flat_map(leaf) == t
+
+
+def test_flat_map_associativity():
+    f = lambda v: branch(leaf(v), leaf(-v))
+    g = lambda v: leaf(v * 2)
+    for seed in range(5):
+        t = random_tree()
+        assert t.flat_map(f).flat_map(g) == t.flat_map(
+            lambda v: f(v).flat_map(g))
+
+
+def test_traverse_plain_map_equivalence():
+    t = branch(leaf(1.0), branch(leaf(2.0), leaf(3.0)))
+    assert t.traverse(lambda v: v + 1) == t.map(lambda v: v + 1)
+
+
+def test_traverse_none_propagates():
+    t = branch(leaf(1.0), branch(leaf(-2.0), leaf(3.0)))
+    assert t.traverse(lambda v: v if v > 0 else None) is None
+    assert t.traverse(lambda v: v) == t
+
+
+def test_traverse_fail_fast():
+    t = branch(leaf(1.0), leaf(-1.0))
+
+    def f(v):
+        if v < 0:
+            raise ValueError("neg")
+        return v
+
+    with pytest.raises(ValueError, match="neg"):
+        t.traverse(f)
