@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -122,6 +123,19 @@ class FilterResult:
 # ---------------------------------------------------------------------------
 
 
+def _kernel_block(n: int) -> int:
+    """Merge-kernel tile width for the transposed paths.
+
+    Tuned in the FULL filter (kernel-only sweeps mislead; see CLAUDE.md):
+    2048 for the pre-combined-serve kernel.  ``CSSM_KBLOCK`` overrides for
+    tuning (ignored when it does not divide N).
+    """
+    env = os.environ.get("CSSM_KBLOCK")
+    if env and n % int(env) == 0:
+        return int(env)
+    return 2048 if n % 2048 == 0 else 1024
+
+
 def _make_save_fn(model: Model, store, interval: float):
     if store == "ll" or store is None:
         return lambda t, particles, key: ()
@@ -211,11 +225,7 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
 
     dtype = x_t.dtype
     n = n_particles
-    # v5e, N=2^20, T=1000: kernel-ONLY sweeps favour block=1024 (1.442 vs
-    # 1.564 ms/step) but the FULL fused filter favours 2048 (2.02-2.04 vs
-    # 2.09-2.11 s/1000 steps, repeatable) -- grid-count interactions with
-    # the surrounding step dominate the kernel-local difference
-    kblock = 2048 if n % 2048 == 0 else 1024
+    kblock = _kernel_block(n)
 
     def step(carry, inp):
         x_t, wn, t_prev, ll, ess = carry
@@ -312,6 +322,21 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
     d = model.dim
     d_pad = (-d) % 8  # DMA sublane alignment for the kernel
 
+    # weight fusion: when the (leftmost) observation family provides the
+    # kernel hook, the kernel ALSO computes the next step's log-weights
+    # into a reserved padding row -- the scan then never re-reads the
+    # cloud to weight it.  dk = padded row count, wrow = the weight row.
+    wspec = model.obs.kernel_log_density()
+    weighted = wspec is not None
+    if weighted:
+        make_consts, _ = wspec
+        obs_scale = model.obs_scale(params)
+        dk = d + (d_pad if d_pad else 8)
+        wrow = dk - 1
+    else:
+        dk = d + d_pad
+        wrow = None
+
     k_init, k_first, k_scan = jax.random.split(key, 3)
     if x_init is None:
         x_t = model.initial_state_t(params, k_init, n_particles)
@@ -322,26 +347,42 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
 
     dtype = x_t.dtype
     n = n_particles
-    kblock = 2048 if n % 2048 == 0 else 1024  # see _filter_impl_t note
+    kblock = _kernel_block(n)
 
     t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
     # pre-propagate to the first observation time: the scan carries clouds
     # already advanced to the step's time
     x_t = model.step_t(params, k_first, x_t, data.ts[0] - t_start)
-    # next-interval dt per step; 0 for the last step makes the final
-    # kernel transition the identity (a=1, b=0, q=0), so final_particles
-    # is the filtering cloud at the last time, as the unfused paths
-    dt_next = jnp.concatenate(
-        [data.ts[1:] - data.ts[:-1], jnp.zeros((1,), data.ts.dtype)])
+    # next-step arrays, shifted by one; the last entries give dt 0 (the
+    # final kernel transition is then the identity, so final_particles is
+    # the filtering cloud at the last time, as the unfused paths) and an
+    # unused trailing weight computation
+    ts = data.ts
+    dt_next = jnp.concatenate([ts[1:] - ts[:-1], jnp.zeros((1,), ts.dtype)])
+    t_next = jnp.concatenate([ts[1:], ts[-1:]])
+    y_next = jnp.concatenate([data.ys[1:], jnp.zeros((1,), data.ys.dtype)])
+    m_next = jnp.concatenate(
+        [data.mask[1:], jnp.zeros((1,), data.mask.dtype)])
+
+    def _weights_xla(x_real, t, y, mask):
+        gamma = model.f_t(x_real, t)
+        return model.log_density(params, gamma, jnp.where(mask, y, 0.0))
+
+    if weighted:
+        logw0 = _weights_xla(x_t, ts[0], data.ys[0], data.mask[0])
+        x_t = jnp.concatenate(
+            [x_t, jnp.zeros((dk - d, n), dtype)], axis=0
+        ).at[wrow].set(logw0)
 
     def step(carry, inp):
         x_t, wn, ll, ess = carry
-        t, y, mask, dtn, k = inp
+        t, y, mask, dtn, tn, yn, mn, k = inp
         k_res, k_prop, k_seed = jax.random.split(k, 3)
 
-        y_safe = jnp.where(mask, y, 0.0)
-        gamma = model.f_t(x_t, t)
-        logw = model.log_density(params, gamma, y_safe)
+        if weighted:
+            logw = x_t[wrow]
+        else:
+            logw = _weights_xla(x_t, t, y, mask)
         logw = jnp.where(mask, logw, 0.0)
 
         maxw = jnp.max(logw)
@@ -358,37 +399,53 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
             do_resample = mask & (ess1 < ess_threshold * n)
 
         a, b, q = sde.transition_coeffs(sp, dtn)
-        coef = jnp.stack([a, b, jnp.sqrt(q)], axis=1).astype(dtype)
-        if d_pad:
+        cols = [a, b, jnp.sqrt(q)]
+        consts = None
+        if weighted:
+            cols.append(model.design_vector(tn))
+            consts = make_consts(jnp.where(mn, yn, 0.0), obs_scale)
+        coef = jnp.stack(cols, axis=1).astype(dtype)
+        if dk > d:
             coef = jnp.concatenate(
-                [coef, jnp.zeros((d_pad, 3), dtype)], axis=0)
+                [coef, jnp.zeros((dk - d, len(cols)), dtype)], axis=0)
         seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, jnp.int32)
 
         def yes(args):
             xp, wp = args
             counts = systematic_counts(k_res, wp)
-            if d_pad:
+            if not weighted and d_pad:
                 xp = jnp.concatenate(
                     [xp, jnp.zeros((d_pad, n), dtype)], axis=0)
             out = sorted_gather_resample_propagate_t(
-                xp, counts, coef, seed, block=kblock)
-            out = out[:d] if d_pad else out
+                xp, counts, coef, seed, block=kblock,
+                weight_family=model.obs if weighted else None,
+                weight_consts=consts, weight_row=wrow)
+            if not weighted and d_pad:
+                out = out[:d]
             return out, jnp.full((n,), 1.0 / n, dtype=dtype)
 
         def no(args):
             xp, wp = args
+            if weighted:
+                x1 = model.step_t(params, k_prop, xp[:d], dtn)
+                logw_n = _weights_xla(x1, tn, yn, mn)
+                x1 = jnp.concatenate(
+                    [x1, jnp.zeros((dk - d, n), dtype)], axis=0
+                ).at[wrow].set(logw_n)
+                return x1, wp
             return model.step_t(params, k_prop, xp, dtn), wp
 
         x2, wn2 = jax.lax.cond(do_resample, yes, no, (x_t, wn1))
         ll1 = ll + ll_inc
         return (x2, wn2, ll1, ess1), (ll1, ess1)
 
-    keys = jax.random.split(k_scan, data.ts.shape[0])
+    keys = jax.random.split(k_scan, ts.shape[0])
     wn0 = jnp.full((n,), 1.0 / n, dtype=dtype)
     init = (x_t, wn0, jnp.asarray(0.0, dtype), jnp.asarray(n, jnp.int32))
     (xf_t, _, ll, _), (ll_hist, ess_hist) = jax.lax.scan(
-        step, init, (data.ts, data.ys, data.mask, dt_next, keys))
-    return FilterResult(ll, ll_hist, ess_hist, xf_t.T, None, None)
+        step, init,
+        (ts, data.ys, data.mask, dt_next, t_next, y_next, m_next, keys))
+    return FilterResult(ll, ll_hist, ess_hist, xf_t[:d].T, None, None)
 
 
 @partial(jax.jit,

@@ -51,6 +51,19 @@ class ObservationFamily:
     def sample(self, key, gamma, scale):
         raise NotImplementedError
 
+    def kernel_log_density(self):
+        """Optional TPU-kernel weight hook for the fused filter path.
+
+        Returns ``(make_consts, fn)`` or None.  ``make_consts(y, scale)``
+        runs OUTSIDE the kernel (any jnp ops; y/scale are traced scalars)
+        and returns a [k] f32 array of per-step constants;
+        ``fn(gamma, consts_ref)`` runs INSIDE the Pallas kernel on the
+        [1, B] gamma row and may use only Mosaic-lowerable elementwise ops
+        plus scalar reads of ``consts_ref``.  Must compute exactly
+        :meth:`log_density`.
+        """
+        return None
+
 
 @dataclasses.dataclass(frozen=True)
 class Gaussian(ObservationFamily):
@@ -63,6 +76,18 @@ class Gaussian(ObservationFamily):
 
     def sample(self, key, gamma, scale):
         return gamma + scale * jax.random.normal(key, jnp.shape(gamma))
+
+    def kernel_log_density(self):
+        def make_consts(y, scale):
+            return jnp.stack([y, 1.0 / scale,
+                              -_HALF_LOG_2PI - jnp.log(scale)]
+                             ).astype(jnp.float32)
+
+        def fn(gamma, c):
+            z = (c[0] - gamma) * c[1]
+            return c[2] - 0.5 * z * z
+
+        return make_consts, fn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +106,17 @@ class Poisson(ObservationFamily):
     def sample(self, key, gamma, scale):
         return jax.random.poisson(key, self.link(gamma)).astype(
             jnp.result_type(float))
+
+    def kernel_log_density(self):
+        def make_consts(y, scale):
+            # gammaln runs outside (scalar; Mosaic's lgamma support is
+            # not relied upon in-kernel)
+            return jnp.stack([y, gammaln(y + 1.0)]).astype(jnp.float32)
+
+        def fn(gamma, c):
+            return c[0] * gamma - jnp.exp(gamma) - c[1]
+
+        return make_consts, fn
 
 
 @dataclasses.dataclass(frozen=True)

@@ -126,18 +126,23 @@ def _merge_kernel_body(serve_args, out_ref):
     h = h + jnp.where(valid2, h2, 0)
     hi = jnp.minimum(h, 2 * n_chunks - 1)                        # [1, B]
 
-    # boundary-chunk inner count: one gather per source block + select
-    hi_sel = jnp.broadcast_to(hi, (_LANE, block))
+    # boundary-chunk inner count: one gather per source block + select.
+    # The block-local index and source-block predicate are computed on the
+    # [1, B] row BEFORE broadcasting (index math on the broadcast [128, B]
+    # wastes full-vreg ops on values constant across sublanes)
+    if n_chunks & (n_chunks - 1) == 0:
+        hi_loc = hi & (n_chunks - 1)
+    else:
+        hi_loc = jnp.where(hi >= n_chunks, hi - n_chunks, hi)
+    hi_sel = jnp.broadcast_to(hi_loc, (_LANE, block))
+    in1_sel = jnp.broadcast_to(hi >= n_chunks, (_LANE, block))
     pieces = []
     for j in range(n_chunks):
         sl = slice(j * _LANE, (j + 1) * _LANE)
         hs = hi_sel[:, sl]
-        cs0 = jnp.take_along_axis(c0[:, :_LANE],
-                                  jnp.clip(hs, 0, _LANE - 1), axis=1)
-        cs1 = jnp.take_along_axis(c1[:, :_LANE],
-                                  jnp.clip(hs - n_chunks, 0, _LANE - 1),
-                                  axis=1)
-        csel = jnp.where(hs < n_chunks, cs0, cs1)                # [128, 128]
+        cs0 = jnp.take_along_axis(c0[:, :_LANE], hs, axis=1)
+        cs1 = jnp.take_along_axis(c1[:, :_LANE], hs, axis=1)
+        csel = jnp.where(in1_sel[:, sl], cs1, cs0)               # [128, 128]
         pieces.append(jnp.sum(
             (csel <= q_row[:, sl]).astype(jnp.int32), axis=0, keepdims=True))
     lo1 = pieces[0] if n_chunks == 1 else jnp.concatenate(pieces, axis=1)
@@ -212,23 +217,52 @@ def _merge_kernel(first_ref, last_ref, base_ref,
          c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
 
 
-def _merge_propagate_kernel(first_ref, last_ref, base_ref, seed_ref,
-                            coef_blk, c0_blk, x0_blk, c1_blk, x1_blk,
-                            c_hbm, xt_hbm, out_ref,
-                            cblk, xblk, sem_c, sem_x):
+def _make_merge_propagate_kernel(weight_fn=None, weight_row: int = 0):
+    """Build the fused merge+propagate kernel, optionally also computing
+    the NEXT observation's log-weights in the output pipeline.
+
+    With ``weight_fn`` (see ``ObservationFamily.kernel_log_density``), the
+    kernel contracts the propagated block against the design column
+    (``coef[:, 3]``), evaluates the family's log-density from per-step
+    scalar constants (an SMEM operand), and writes the [1, B] weight row
+    into the ``weight_row``-th (padding) row of the output -- the filter
+    step then never re-reads the cloud to weight it.
+    """
+
+    def kernel(first_ref, last_ref, base_ref, seed_ref, *rest):
+        if weight_fn is None:
+            (coef_blk, c0_blk, x0_blk, c1_blk, x1_blk,
+             c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x) = rest
+            wconsts = None
+        else:
+            (coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
+             c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x) = rest
+        _merge_propagate_tail(
+            weight_fn, weight_row, first_ref, last_ref, base_ref, seed_ref,
+            coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
+            c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x)
+
+    return kernel
+
+
+def _merge_propagate_tail(weight_fn, weight_row,
+                          first_ref, last_ref, base_ref, seed_ref,
+                          coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
+                          c_hbm, xt_hbm, out_ref,
+                          cblk, xblk, sem_c, sem_x):
     """Merge-gather resample fused with a diagonal affine-Gaussian
     transition applied to the output block while it is still in VMEM:
 
         out = a * out + b + s * z,   z ~ N(0, 1)
 
-    with ``coef_blk`` [d, 3] holding columns (a, b, s) and ``z`` drawn
-    in-kernel (per-core PRNG seeded from ``seed_ref[0]`` xor the block id,
-    Box-Muller over 24-bit uniforms).  This is the reference's
-    propagate-after-resample step (Sde.scala:142-150 exact transitions;
-    Resampling.scala:63-72 resampling) with the next step's propagation
-    folded into the resampling kernel's output pipeline: one full HBM
-    read+write of the cloud less per filter step, and the normal draws ride
-    the VPU instead of a separate XLA dispatch.
+    with ``coef_blk`` [d, 3 or 4] holding columns (a, b, s[, design]) and
+    ``z`` drawn in-kernel (per-core PRNG seeded from ``seed_ref[0]`` and
+    the block id, Box-Muller over 24-bit uniforms).  This is the
+    reference's propagate-after-resample step (Sde.scala:142-150 exact
+    transitions; Resampling.scala:63-72 resampling) with the next step's
+    propagation folded into the resampling kernel's output pipeline: one
+    full HBM read+write of the cloud less per filter step, and the normal
+    draws ride the VPU instead of a separate XLA dispatch.
     """
     _merge_kernel_body(
         (first_ref, last_ref, base_ref, c0_blk, x0_blk, c1_blk, x1_blk,
@@ -258,7 +292,18 @@ def _merge_propagate_kernel(first_ref, last_ref, base_ref, seed_ref,
     a = coef_blk[:, 0:1]                                          # [d, 1]
     b = coef_blk[:, 1:2]
     s = coef_blk[:, 2:3]
-    out_ref[...] = a * out_ref[...] + b + s * z
+    out = a * out_ref[...] + b + s * z
+    if weight_fn is not None:
+        # next-step log-weights from the propagated block, written into
+        # the designated padding row (design column is zero there, so the
+        # weight row never contaminates gamma)
+        fc = coef_blk[:, 3:4]                                     # [d, 1]
+        gamma = jnp.sum(fc * out, axis=0, keepdims=True)          # [1, B]
+        logw = weight_fn(gamma, wconsts)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (d, block), 0)
+        out = jnp.where(rowid == weight_row,
+                        jnp.broadcast_to(logw, (d, block)), out)
+    out_ref[...] = out
 
 
 def _merge_prepass(counts, n: int, block: int):
@@ -372,23 +417,34 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
     )(first, last, base, c_cols, x_t, c_cols, x_t, c_cols, x_t)
 
 
-@partial(jax.jit, static_argnames=("block", "interpret"))
+@partial(jax.jit, static_argnames=("block", "interpret", "weight_family",
+                                   "weight_row"))
 def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
                                        block: int = 1024,
-                                       interpret: bool = False):
+                                       interpret: bool = False,
+                                       weight_family=None,
+                                       weight_consts=None,
+                                       weight_row: int | None = None):
     """Fused resample + diagonal affine-Gaussian propagate, transposed.
 
     ``y_t[:, j] = a * x_t[:, anc_j] + b + s * z_j`` with z ~ N(0, 1) drawn
-    in-kernel (see :func:`_merge_propagate_kernel`).  Covers every exact
+    in-kernel (see :func:`_merge_propagate_tail`).  Covers every exact
     reference transition (Brownian/GenBrownian/OU and block-diagonal
     composites, Sde.scala:86-95/114-123/142-150): the caller supplies
     ``coef = stack([a, b, s], axis=1)`` [d, 3] from
     ``Sde.transition_coeffs`` with ``s = sqrt(q)``.
 
+    With ``weight_family`` (an ObservationFamily whose
+    ``kernel_log_density`` hook is implemented), ``coef`` is [d, 4] (4th
+    column the design vector), ``weight_consts`` the family's [k] per-step
+    scalars, and the next step's log-weights are written into output row
+    ``weight_row`` (a padding row the caller reserves).
+
     Args:
       x_t: [d, N] particle columns (N divisible by ``block``).
       counts: [N] nondecreasing int32 cumulative position counts.
-      coef: [d, 3] float32 (columns a, b, sqrt(q)).
+      coef: [d, 3] (or [d, 4] weighted) float32 (columns a, b, sqrt(q)
+        [, design]).
       seed: [1] int32 per-step PRNG seed (fold a step counter in upstream;
         the kernel decorrelates blocks by mixing in the block id).
       block, interpret: as :func:`sorted_gather_resample_t`.  NB interpret
@@ -397,16 +453,33 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     """
     d, n = x_t.shape
     _check_block(n, block)
-    if coef.shape != (d, 3):
-        raise ValueError(f"coef must be [d={d}, 3], got {coef.shape}")
+    weighted = weight_family is not None
+    ncol = 4 if weighted else 3
+    if coef.shape != (d, ncol):
+        raise ValueError(f"coef must be [d={d}, {ncol}], got {coef.shape}")
     counts = counts.astype(jnp.int32)
     coef = coef.astype(x_t.dtype)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     first, last, base, c_cols = _merge_prepass(counts, n, block)
     in_specs, out_specs, scratch = _merge_specs(
         d, block, block // _LANE, 4, x_t.dtype)
-    # coef rides in front of the pipelined tensor operands, whole-array
-    in_specs = [pl.BlockSpec((d, 3), lambda g, *_: (0, 0))] + in_specs
+    # coef (+ weight consts) ride in front of the pipelined tensor operands
+    head = [pl.BlockSpec((d, ncol), lambda g, *_: (0, 0))]
+    args = [coef]
+    if weighted:
+        wspec = weight_family.kernel_log_density()
+        if wspec is None:
+            raise ValueError(
+                f"{type(weight_family).__name__} has no kernel_log_density")
+        _, weight_fn = wspec
+        if weight_row is None or not (0 <= weight_row < d):
+            raise ValueError(f"weight_row={weight_row} outside [0, {d})")
+        wc = jnp.asarray(weight_consts, jnp.float32).reshape(-1)
+        head.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(wc)
+    else:
+        weight_fn = None
+    in_specs = head + in_specs
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -417,11 +490,11 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     )
 
     return pl.pallas_call(
-        _merge_propagate_kernel,
+        _make_merge_propagate_kernel(weight_fn, weight_row or 0),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, seed, coef, c_cols, x_t, c_cols, x_t, c_cols, x_t)
+    )(first, last, base, seed, *args, c_cols, x_t, c_cols, x_t, c_cols, x_t)
 
 
 def sorted_gather_resample(x, counts, block: int = 1024,

@@ -275,3 +275,44 @@ def test_fused_filter_structural(key):
     with pytest.raises(ValueError, match="store='ll'"):
         bootstrap_filter(model, params, data, 1024, key,
                          resample="systematic-pallas-fused", store="summary")
+
+
+def test_fused_weighted_kernel_matches_xla_weights(key):
+    """With zero noise, the weighted fused kernel's weight row equals the
+    XLA log-density of the affine-propagated resampled block (Poisson and
+    Gaussian kernel_log_density hooks)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from composablestatespacemodels_tpu.models.observation import (Gaussian,
+                                                                   Poisson)
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        sorted_gather_resample_propagate_t, sorted_gather_resample_t)
+
+    n, d = 2048, 8
+    x = jax.random.normal(key, (d, n)) * 0.3
+    w = jax.random.uniform(jax.random.fold_in(key, 1), (n,)) + 0.01
+    counts = systematic_counts(jax.random.fold_in(key, 2), w)
+    a = jnp.concatenate([jnp.full((d - 1,), 0.9), jnp.zeros((1,))])
+    b = jnp.concatenate([jnp.full((d - 1,), 0.05), jnp.zeros((1,))])
+    s = jnp.zeros((d,))
+    fc = jnp.concatenate([jnp.linspace(0.5, 1.5, d - 1), jnp.zeros((1,))])
+    coef = jnp.stack([a, b, s, fc], axis=1)
+
+    for fam, y, scale in [(Poisson(), 3.0, 1.0), (Gaussian(), 0.7, 0.4)]:
+        make_consts, _ = fam.kernel_log_density()
+        consts = make_consts(jnp.asarray(y), jnp.asarray(scale))
+        with pltpu.force_tpu_interpret_mode():
+            out = sorted_gather_resample_propagate_t(
+                x, counts, coef, jnp.array([3], jnp.int32), block=1024,
+                weight_family=fam, weight_consts=consts, weight_row=d - 1)
+            base = sorted_gather_resample_t(x, counts, block=1024)
+        prop = a[:, None] * np.asarray(base) + b[:, None]
+        gamma = (fc[:, None] * prop).sum(axis=0)
+        want = np.asarray(fam.log_density(jnp.asarray(gamma),
+                                          jnp.asarray(y),
+                                          jnp.asarray(scale)))
+        np.testing.assert_allclose(np.asarray(out)[d - 1], want,
+                                   rtol=2e-5, atol=1e-5)
+        # real state rows unchanged by the weight tail
+        np.testing.assert_allclose(np.asarray(out)[: d - 1],
+                                   prop[: d - 1], rtol=1e-6, atol=1e-6)
