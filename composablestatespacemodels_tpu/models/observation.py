@@ -146,6 +146,21 @@ class ZeroInflatedPoisson(ObservationFamily):
             jnp.result_type(float))
         return jnp.where(u < scale, 0.0, pois)
 
+    def kernel_log_density(self):
+        def make_consts(y, scale):
+            return jnp.stack([y, jnp.log(scale), jnp.log1p(-scale),
+                              gammaln(y + 1.0),
+                              (y == 0).astype(jnp.float32)]
+                             ).astype(jnp.float32)
+
+        def fn(gamma, c):
+            lam = jnp.exp(gamma)
+            ll_zero = jnp.logaddexp(c[1], c[2] - lam)
+            ll_pos = c[2] + c[0] * gamma - lam - c[3]
+            return jnp.where(c[4] > 0.5, ll_zero, ll_pos)
+
+        return make_consts, fn
+
 
 @dataclasses.dataclass(frozen=True)
 class NegativeBinomial(ObservationFamily):
@@ -171,6 +186,21 @@ class NegativeBinomial(ObservationFamily):
         lam = jax.random.gamma(kg, size, jnp.shape(gamma)) * (mu / size)
         return jax.random.poisson(kp, lam).astype(jnp.result_type(float))
 
+    def kernel_log_density(self):
+        def make_consts(y, scale):
+            size = scale
+            return jnp.stack([
+                gammaln(size + y) - gammaln(y + 1.0) - gammaln(size),
+                y, size, jnp.log(size)]).astype(jnp.float32)
+
+        def fn(gamma, c):
+            # log(mu + size) = logaddexp(gamma, log size), so
+            # logw = const + size*(log size - lse) + y*(gamma - lse)
+            lse = jnp.logaddexp(gamma, c[3])
+            return c[0] + c[2] * (c[3] - lse) + c[1] * (gamma - lse)
+
+        return make_consts, fn
+
 
 @dataclasses.dataclass(frozen=True)
 class Bernoulli(ObservationFamily):
@@ -193,6 +223,20 @@ class Bernoulli(ObservationFamily):
     def sample(self, key, gamma, scale):
         u = jax.random.uniform(key, jnp.shape(gamma))
         return jnp.where(u < self.link(gamma), 1.0, 0.0)
+
+    def kernel_log_density(self):
+        def make_consts(y, scale):
+            return jnp.stack([y]).astype(jnp.float32)
+
+        def fn(gamma, c):
+            p = self.link(gamma)
+            ll1 = jnp.where(p == 0.0, _NEG_INF_LL,
+                            jnp.log(jnp.maximum(p, 1e-300)))
+            ll0 = jnp.where(p == 1.0, _NEG_INF_LL,
+                            jnp.log(jnp.maximum(1.0 - p, 1e-300)))
+            return jnp.where(c[0] == 1.0, ll1, ll0)
+
+        return make_consts, fn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -218,6 +262,21 @@ class StudentsT(ObservationFamily):
     def sample(self, key, gamma, scale):
         t = jax.random.t(key, float(self.df), jnp.shape(gamma))
         return gamma + scale * t
+
+    def kernel_log_density(self):
+        nu = float(self.df)
+
+        def make_consts(y, scale):
+            lognorm = (gammaln((nu + 1.0) / 2.0) - gammaln(nu / 2.0)
+                       - 0.5 * jnp.log(nu * jnp.pi))
+            return jnp.stack([y, 1.0 / scale, lognorm - jnp.log(scale)]
+                             ).astype(jnp.float32)
+
+        def fn(gamma, c):
+            z = (c[0] - gamma) * c[1]
+            return c[2] - (nu + 1.0) / 2.0 * jnp.log1p(z * z / nu)
+
+        return make_consts, fn
 
 
 @dataclasses.dataclass(frozen=True)

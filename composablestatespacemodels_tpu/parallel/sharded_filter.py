@@ -378,6 +378,13 @@ def _sharded_scan(model: Model, params: Tree, data: TimeSeries,
     idx = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
     n_total = local_n * n_shards
+    # n_shards is trace-time static: on a 1-wide particle axis the scalar
+    # collectives are identities -- skip them (measured, they are most of
+    # the remaining 1-shard machinery overhead)
+    pmax_ = (lambda v: v) if n_shards == 1 else (
+        lambda v: jax.lax.pmax(v, axis))
+    psum_ = (lambda v: v) if n_shards == 1 else (
+        lambda v: jax.lax.psum(v, axis))
     save_fn = _make_save_fn_sharded(model, store, interval, local_n,
                                     n_total, axis)
 
@@ -410,12 +417,12 @@ def _sharded_scan(model: Model, params: Tree, data: TimeSeries,
         logw = model.log_density(params, gamma, y_safe)
         logw = jnp.where(mask, logw, 0.0)
 
-        maxw = jax.lax.pmax(jnp.max(logw), axis)
+        maxw = pmax_(jnp.max(logw))
         u = wn * jnp.exp(logw - maxw)
-        total = jax.lax.psum(jnp.sum(u), axis)
+        total = psum_(jnp.sum(u))
         ll_inc = jnp.where(mask, maxw + jnp.log(total), 0.0)
         wn1 = u / total
-        sumsq = jax.lax.psum(jnp.sum(wn1 * wn1), axis)
+        sumsq = psum_(jnp.sum(wn1 * wn1))
         ess1 = jnp.where(mask,
                          jnp.floor(1.0 / sumsq).astype(jnp.int32), ess)
 
@@ -503,6 +510,12 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
     idx = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
     n_total = local_n * n_shards
+    # 1-wide particle axis: scalar collectives are identities (see
+    # _sharded_scan)
+    pmax_ = (lambda v: v) if n_shards == 1 else (
+        lambda v: jax.lax.pmax(v, axis))
+    psum_ = (lambda v: v) if n_shards == 1 else (
+        lambda v: jax.lax.psum(v, axis))
     save_fn = _make_save_fn_sharded_t(model, store, interval, local_n,
                                       n_total, axis)
 
@@ -534,12 +547,12 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
         logw = model.log_density(params, gamma, y_safe)
         logw = jnp.where(mask, logw, 0.0)
 
-        maxw = jax.lax.pmax(jnp.max(logw), axis)
+        maxw = pmax_(jnp.max(logw))
         u = wn * jnp.exp(logw - maxw)
-        total = jax.lax.psum(jnp.sum(u), axis)
+        total = psum_(jnp.sum(u))
         ll_inc = jnp.where(mask, maxw + jnp.log(total), 0.0)
         wn1 = u / total
-        sumsq = jax.lax.psum(jnp.sum(wn1 * wn1), axis)
+        sumsq = psum_(jnp.sum(wn1 * wn1))
         ess1 = jnp.where(mask,
                          jnp.floor(1.0 / sumsq).astype(jnp.int32), ess)
 

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--plot", action="store_true",
                     help="also write trace/histogram + pilot PNGs "
                          "(R/Plots.R:77-107 analogue)")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="two-phase adaptive PMMH: pilot RW chain -> "
+                         "covariance -> MVN-eigen main chain "
+                         "(Parameters.scala:111-123 + Utilities.scala:11-18 "
+                         "workflow)")
     add_common_args(ap)
     args = ap.parse_args()
     cfg = config_from_args(args)
@@ -74,6 +79,13 @@ def main():
         print(f"acceptance rates: {res.acceptance_rate()}")
         from composablestatespacemodels_tpu.inference.pmmh import gelman_rubin
         print(f"R-hat(ll): {float(gelman_rubin(res.lls)):.3f}")
+    elif args.adaptive:
+        res = cssm.adaptive_pmmh(key, params, pf_ll, cfg.n_iters,
+                                 pilot_iters=max(200, cfg.n_iters // 4),
+                                 pilot_delta=args.delta)
+        cio.write_posterior_json(f"{cfg.out}_posterior.json", res)
+        print(f"acceptance (adapted chain): "
+              f"{float(res.acceptance_rate()):.3f}")
     else:
         res = pmmh_monitored(key, params, pf_ll, perturb(args.delta),
                              cfg.n_iters, chunk_size=1000,

@@ -283,8 +283,9 @@ def test_fused_weighted_kernel_matches_xla_weights(key):
     Gaussian kernel_log_density hooks)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    from composablestatespacemodels_tpu.models.observation import (Gaussian,
-                                                                   Poisson)
+    from composablestatespacemodels_tpu.models.observation import (
+        Bernoulli, Gaussian, NegativeBinomial, Poisson, StudentsT,
+        ZeroInflatedPoisson)
     from composablestatespacemodels_tpu.ops.resample_kernel import (
         sorted_gather_resample_propagate_t, sorted_gather_resample_t)
 
@@ -298,7 +299,12 @@ def test_fused_weighted_kernel_matches_xla_weights(key):
     fc = jnp.concatenate([jnp.linspace(0.5, 1.5, d - 1), jnp.zeros((1,))])
     coef = jnp.stack([a, b, s, fc], axis=1)
 
-    for fam, y, scale in [(Poisson(), 3.0, 1.0), (Gaussian(), 0.7, 0.4)]:
+    for fam, y, scale in [(Poisson(), 3.0, 1.0), (Gaussian(), 0.7, 0.4),
+                          (ZeroInflatedPoisson(), 0.0, 0.2),
+                          (ZeroInflatedPoisson(), 2.0, 0.2),
+                          (NegativeBinomial(), 4.0, 2.5),
+                          (Bernoulli(), 1.0, 1.0), (Bernoulli(), 0.0, 1.0),
+                          (StudentsT(df=4), 0.3, 0.8)]:
         make_consts, _ = fam.kernel_log_density()
         consts = make_consts(jnp.asarray(y), jnp.asarray(scale))
         with pltpu.force_tpu_interpret_mode():
