@@ -73,7 +73,20 @@ def _lgcp_impl(model: Model, params: Tree, grid, n_particles: int, key,
     from .filter import credible_interval_eta
 
     t_eval, hflag, aflag, oflag, t_obs, zflag, obs_idx = grid
-    resample_fn = rs.get_scheme(resample)
+    if resample == "systematic-pallas":
+        # large-N TPU path: closed-form counts + the merge-gather kernel
+        # ([N, d] boundary wrapper) instead of the XLA scatter+cummax
+        # ancestor fill (~7 ms at N=1e6); requires N divisible by 1024
+        from ..ops.resample_kernel import (sorted_gather_resample,
+                                          systematic_counts)
+
+        def resample_gather(k, x, w):
+            return sorted_gather_resample(x, systematic_counts(k, w))
+    else:
+        resample_fn = rs.get_scheme(resample)
+
+        def resample_gather(k, x, w):
+            return x[resample_fn(k, w)]
     h = 10.0 ** (-precision)
     sp = model.sde_params(params)
 
@@ -107,7 +120,7 @@ def _lgcp_impl(model: Model, params: Tree, grid, n_particles: int, key,
             ll1 = ll + maxw + jnp.log(jnp.mean(w))
             wn = w / jnp.sum(w)
             ess = jnp.floor(1.0 / jnp.sum(wn * wn)).astype(jnp.int32)
-            x2 = x1[resample_fn(k_res, w)]
+            x2 = resample_gather(k_res, x1, w)
             eta = jnp.exp(gamma)
             e_lo, e_hi = credible_interval_eta(eta, interval)
             out = (ll1, ess, jnp.mean(eta), e_lo, e_hi,
@@ -148,6 +161,10 @@ def lgcp_filter(model: Model, params: Tree, data: TimeSeries,
     host into one union grid with per-slot flags, so total work is
     O(sum of gaps / h) -- independent of the largest single gap -- and the
     whole filter compiles once per dataset shape.
+
+    ``resample='systematic-pallas'`` routes the resampling through the
+    merge-gather kernel (large N on TPU; N divisible by 1024) instead of
+    the XLA scatter ancestor fill.
     """
     model.validate_params(params)
     grid = _build_fine_grid(np.asarray(data.ts, np.float64), precision)
