@@ -126,13 +126,20 @@ class FilterResult:
 def _kernel_block(n: int) -> int:
     """Merge-kernel tile width for the transposed paths.
 
-    Tuned in the FULL filter (kernel-only sweeps mislead; see CLAUDE.md):
-    2048 for the pre-combined-serve kernel.  ``CSSM_KBLOCK`` overrides for
-    tuning (ignored when it does not divide N).
+    Tuned in the FULL filter (kernel-only sweeps mislead; see CLAUDE.md).
+    ``CSSM_KBLOCK`` overrides for tuning (ignored when unparseable,
+    non-positive, or not dividing N).  NB read at TRACE time: the jit
+    cache is keyed on shapes only, so set it before the first filter call
+    of a process (a sweep must use one process per value).
     """
     env = os.environ.get("CSSM_KBLOCK")
-    if env and n % int(env) == 0:
-        return int(env)
+    if env:
+        try:
+            b = int(env)
+        except ValueError:
+            b = 0
+        if b > 0 and n % b == 0:
+            return b
     return 2048 if n % 2048 == 0 else 1024
 
 
@@ -179,13 +186,16 @@ def _make_save_fn_t(model: Model, store, interval: float):
             if x_t.dtype == jnp.float32:
                 # bisection selection instead of a per-step [d, N] sort
                 # (exact, bit-identical order statistics; the sort dwarfs
-                # the filter step itself at large N -- VERDICT r2 item 5)
+                # the filter step itself at large N -- VERDICT r2 item 5).
+                # Indices wrap mod n: edge intervals make the sort path's
+                # static indices negative (s[:, -1] -> max element), which
+                # bisection must mirror rather than produce NaN
                 from ..ops.selection import kth_smallest_bits
                 d = x_t.shape[0]
                 cols = jnp.concatenate([x_t, etas[None]], axis=0)
                 ks = jnp.asarray(
-                    [[n - k - 1, k - 1]] * d           # state flavour
-                    + [[n - k, min(k, n - 1)]],        # eta flavour
+                    [[(n - k - 1) % n, (k - 1) % n]] * d   # state flavour
+                    + [[(n - k) % n, min(k, n - 1)]],      # eta flavour
                     jnp.int32)
                 sel = kth_smallest_bits(cols, ks)      # [d+1, 2]
                 return (eta_mean, sel[d, 0], sel[d, 1],

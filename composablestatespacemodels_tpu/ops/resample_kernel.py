@@ -336,12 +336,12 @@ def _merge_prepass(counts, n: int, block: int):
     return first, last, base, c_cols
 
 
-def _merge_specs(d, block, n_chunks, n_prefetch: int, dtype):
+def _merge_specs(d, block, n_chunks, dtype):
     """Block/scratch specs shared by the plain and fused merge kernels.
 
-    ``n_prefetch`` scalar-prefetch operands precede the tensor operands;
-    index maps therefore take (g, *prefetch_refs) and read the prefetched
-    ``first`` array (always the first prefetch operand).
+    Scalar-prefetch operands precede the tensor operands; index maps take
+    (g, *prefetch_refs) and read the prefetched ``first`` array (always
+    the first prefetch operand, whatever the prefetch count).
     """
     def im_c0(g, first, *_):
         return (first[g], 0, 0)
@@ -399,7 +399,7 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
     counts = counts.astype(jnp.int32)
     first, last, base, c_cols = _merge_prepass(counts, n, block)
     in_specs, out_specs, scratch = _merge_specs(
-        d, block, block // _LANE, 3, x_t.dtype)
+        d, block, block // _LANE, x_t.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -462,7 +462,7 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     first, last, base, c_cols = _merge_prepass(counts, n, block)
     in_specs, out_specs, scratch = _merge_specs(
-        d, block, block // _LANE, 4, x_t.dtype)
+        d, block, block // _LANE, x_t.dtype)
     # coef (+ weight consts) ride in front of the pipelined tensor operands
     head = [pl.BlockSpec((d, ncol), lambda g, *_: (0, 0))]
     args = [coef]

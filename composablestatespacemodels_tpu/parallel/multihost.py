@@ -63,15 +63,25 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     # already-initialised check WITHOUT touching the XLA backend:
     # jax.process_count() would initialise the backends, after which
-    # jax.distributed.initialize() unconditionally raises
-    if getattr(_dist.global_state, "client", None) is not None:
-        return True
+    # jax.distributed.initialize() unconditionally raises.  The
+    # global_state attribute is private, so a second line of defence
+    # below treats initialize()'s "already initialized" error as success
+    try:
+        if _dist.global_state.client is not None:
+            return True
+    except AttributeError:
+        pass
     if (not auto and coordinator_address is None
             and (num_processes or 1) <= 1):
         return False
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" in str(e):
+            return True
+        raise
     return True
 
 

@@ -93,12 +93,13 @@ def distributed_systematic_resample(x_local, w_local, key, axis: str,
     if jax.lax.axis_size(axis) == 1:
         # 1-wide particle axis (every single-host user with a trivial
         # mesh): the global sample IS the local systematic sample -- skip
-        # the window/ring machinery entirely.  systematic_counts consumes
-        # the key identically to _systematic_window_counts (one shared
-        # uniform), so this is bit-identical to the general path.
-        from ..inference.resampling import (_ancestors_from_counts,
-                                            systematic_counts)
-        counts = systematic_counts(key, w_local)
+        # the ring machinery (the expensive part) but keep the SAME
+        # window-count producer, so the shortcut is bit-identical to the
+        # general path by construction (it normalises the cdf as
+        # cumsum(w)/cumsum(w)[-1], which differs from systematic_counts'
+        # cumsum(w/sum(w)) by f32 rounding on non-dyadic weights)
+        from ..inference.resampling import _ancestors_from_counts
+        counts, _ = _systematic_window_counts(w_local, key, axis)
         return x_local[_ancestors_from_counts(counts, local_n)]
     counts, c_prev = _systematic_window_counts(w_local, key, axis)
     slots = idx * local_n + jnp.arange(local_n)                  # my outputs
@@ -229,19 +230,20 @@ def distributed_systematic_resample_t(x_t_local, w_local, key, axis: str,
 
     if jax.lax.axis_size(axis) == 1:
         # 1-wide axis: bit-identical local systematic sample, no ring
-        # (see distributed_systematic_resample)
-        from ..inference.resampling import (_ancestors_from_counts,
-                                            systematic_counts)
-        counts1 = systematic_counts(key, w_local)
+        # (same window-count producer as the general path; see
+        # distributed_systematic_resample)
+        from ..inference.filter import _kernel_block
+        from ..inference.resampling import _ancestors_from_counts
+        counts1, _ = _systematic_window_counts(w_local, key, axis)
         if pallas_fill:
             from ..ops.resample_kernel import sorted_gather_resample_t
-            kblock = 2048 if local_n % 2048 == 0 else 1024
             d_pad1 = (-d) % 8
             xp = x_t_local
             if d_pad1:
                 xp = jnp.concatenate(
                     [xp, jnp.zeros((d_pad1, local_n), xp.dtype)], axis=0)
-            return sorted_gather_resample_t(xp, counts1, block=kblock)[:d]
+            return sorted_gather_resample_t(
+                xp, counts1, block=_kernel_block(local_n))[:d]
         return x_t_local[:, _ancestors_from_counts(counts1, local_n)]
 
     counts, c_prev = _systematic_window_counts(w_local, key, axis)
