@@ -126,25 +126,47 @@ def _merge_kernel_body(serve_args, out_ref):
     h = h + jnp.where(valid2, h2, 0)
     hi = jnp.minimum(h, 2 * n_chunks - 1)                        # [1, B]
 
-    # boundary-chunk inner count: one gather per source block + select.
-    # The block-local index and source-block predicate are computed on the
-    # [1, B] row BEFORE broadcasting (index math on the broadcast [128, B]
-    # wastes full-vreg ops on values constant across sublanes)
-    if n_chunks & (n_chunks - 1) == 0:
-        hi_loc = hi & (n_chunks - 1)
+    # boundary-chunk inner count.  When both blocks' valid columns fit one
+    # 128-lane window (2*n_chunks <= 128, every production block size),
+    # pack them into ONE [128, 128] buffer -- a lane rotate + select once
+    # per block -- and gather with the GLOBAL hi: one gather per output
+    # chunk instead of two + a select (the gathers are the kernel's
+    # dominant cost; see CLAUDE.md).  Lanes >= 2*n_chunks hold rotated-c1
+    # garbage but hi <= 2*n_chunks - 1 never selects them.
+    if 2 * n_chunks <= _LANE:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+        comb = jnp.where(lane < n_chunks, c0[:, :_LANE],
+                         pltpu.roll(c1[:, :_LANE], n_chunks, 1))
+        hi_sel = jnp.broadcast_to(hi, (_LANE, block))
+        pieces = []
+        for j in range(n_chunks):
+            sl = slice(j * _LANE, (j + 1) * _LANE)
+            csel = jnp.take_along_axis(comb, hi_sel[:, sl],
+                                       axis=1)                   # [128, 128]
+            pieces.append(jnp.sum(
+                (csel <= q_row[:, sl]).astype(jnp.int32), axis=0,
+                keepdims=True))
     else:
-        hi_loc = jnp.where(hi >= n_chunks, hi - n_chunks, hi)
-    hi_sel = jnp.broadcast_to(hi_loc, (_LANE, block))
-    in1_sel = jnp.broadcast_to(hi >= n_chunks, (_LANE, block))
-    pieces = []
-    for j in range(n_chunks):
-        sl = slice(j * _LANE, (j + 1) * _LANE)
-        hs = hi_sel[:, sl]
-        cs0 = jnp.take_along_axis(c0[:, :_LANE], hs, axis=1)
-        cs1 = jnp.take_along_axis(c1[:, :_LANE], hs, axis=1)
-        csel = jnp.where(in1_sel[:, sl], cs1, cs0)               # [128, 128]
-        pieces.append(jnp.sum(
-            (csel <= q_row[:, sl]).astype(jnp.int32), axis=0, keepdims=True))
+        # fallback: one gather per source block + select.  Block-local
+        # index and source predicate computed on the [1, B] row BEFORE
+        # broadcasting (index math on the broadcast [128, B] wastes
+        # full-vreg ops on values constant across sublanes)
+        if n_chunks & (n_chunks - 1) == 0:
+            hi_loc = hi & (n_chunks - 1)
+        else:
+            hi_loc = jnp.where(hi >= n_chunks, hi - n_chunks, hi)
+        hi_sel = jnp.broadcast_to(hi_loc, (_LANE, block))
+        in1_sel = jnp.broadcast_to(hi >= n_chunks, (_LANE, block))
+        pieces = []
+        for j in range(n_chunks):
+            sl = slice(j * _LANE, (j + 1) * _LANE)
+            hs = hi_sel[:, sl]
+            cs0 = jnp.take_along_axis(c0[:, :_LANE], hs, axis=1)
+            cs1 = jnp.take_along_axis(c1[:, :_LANE], hs, axis=1)
+            csel = jnp.where(in1_sel[:, sl], cs1, cs0)           # [128, 128]
+            pieces.append(jnp.sum(
+                (csel <= q_row[:, sl]).astype(jnp.int32), axis=0,
+                keepdims=True))
     lo1 = pieces[0] if n_chunks == 1 else jnp.concatenate(pieces, axis=1)
 
     active = q_row < cmax_eff   # q >= base_ref[g] holds by construction
