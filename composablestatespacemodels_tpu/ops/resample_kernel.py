@@ -50,7 +50,7 @@ _LANE = 128
 def _merge_kernel_body(serve_args, out_ref):
     """Shared merge-gather body (see :func:`_merge_kernel` docstring)."""
     (first_ref, last_ref, base_ref,
-     c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm,
+     c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk, c_hbm, xt_hbm,
      cblk, xblk, sem_c, sem_x) = serve_args
     g = pl.program_id(0)
     d, block = out_ref.shape
@@ -117,12 +117,26 @@ def _merge_kernel_body(serve_args, out_ref):
     cmax1 = c1[_LANE - 1, n_chunks - 1]
     cmax_eff = jnp.where(valid2, cmax1, cmax0)
 
-    h = jnp.zeros((1, block), jnp.int32)
-    for m in range(n_chunks):
-        h = h + (c0[_LANE - 1, m] <= q_row).astype(jnp.int32)
-    h2 = jnp.zeros((1, block), jnp.int32)
-    for m in range(n_chunks):
-        h2 = h2 + (c1[_LANE - 1, m] <= q_row).astype(jnp.int32)
+    # level 1 from the SUBLANE-major chunk-maxima operands (the XLA
+    # prepass replicates each block's n_chunks maxima along lanes into
+    # [S, 128] tiles, padding rows with INT32_MAX): per output chunk, ONE
+    # [S, 128] compare + a log-tree sublane reduction replaces n_chunks
+    # scalar-broadcast compares against the [1, B] slot row (which spans
+    # 16 mostly-empty lane-tiles at block=2048).  Same formula, ~8x fewer
+    # vreg ops; downstream layouts unchanged.
+    m0 = m0_blk[0]                                               # [S, 128]
+    m1 = m1_blk[0]
+    h_pieces = []
+    h2_pieces = []
+    for j in range(n_chunks):
+        sl = slice(j * _LANE, (j + 1) * _LANE)
+        h_pieces.append(jnp.sum(
+            (m0 <= q_row[:, sl]).astype(jnp.int32), axis=0, keepdims=True))
+        h2_pieces.append(jnp.sum(
+            (m1 <= q_row[:, sl]).astype(jnp.int32), axis=0, keepdims=True))
+    h = h_pieces[0] if n_chunks == 1 else jnp.concatenate(h_pieces, axis=1)
+    h2 = (h2_pieces[0] if n_chunks == 1
+          else jnp.concatenate(h2_pieces, axis=1))
     h = h + jnp.where(valid2, h2, 0)
     hi = jnp.minimum(h, 2 * n_chunks - 1)                        # [1, B]
 
@@ -203,8 +217,8 @@ def _merge_kernel_body(serve_args, out_ref):
 
 
 def _merge_kernel(first_ref, last_ref, base_ref,
-                  c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm, out_ref,
-                  cblk, xblk, sem_c, sem_x):
+                  c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk,
+                  c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x):
     """Grid: (n_out_blocks,).
 
     Scalar-prefetch: first/last input-block index and entering count per
@@ -236,7 +250,7 @@ def _merge_kernel(first_ref, last_ref, base_ref,
     """
     _merge_kernel_body(
         (first_ref, last_ref, base_ref, c0_blk, x0_blk, c1_blk, x1_blk,
-         c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
+         m0_blk, m1_blk, c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
 
 
 def _make_merge_propagate_kernel(weight_fn=None, weight_row: int = 0):
@@ -253,16 +267,17 @@ def _make_merge_propagate_kernel(weight_fn=None, weight_row: int = 0):
 
     def kernel(first_ref, last_ref, base_ref, seed_ref, *rest):
         if weight_fn is None:
-            (coef_blk, c0_blk, x0_blk, c1_blk, x1_blk,
+            (coef_blk, c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk,
              c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x) = rest
             wconsts = None
         else:
             (coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
+             m0_blk, m1_blk,
              c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x) = rest
         _merge_propagate_tail(
             weight_fn, weight_row, first_ref, last_ref, base_ref, seed_ref,
             coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
-            c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x)
+            m0_blk, m1_blk, c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x)
 
     return kernel
 
@@ -270,7 +285,7 @@ def _make_merge_propagate_kernel(weight_fn=None, weight_row: int = 0):
 def _merge_propagate_tail(weight_fn, weight_row,
                           first_ref, last_ref, base_ref, seed_ref,
                           coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
-                          c_hbm, xt_hbm, out_ref,
+                          m0_blk, m1_blk, c_hbm, xt_hbm, out_ref,
                           cblk, xblk, sem_c, sem_x):
     """Merge-gather resample fused with a diagonal affine-Gaussian
     transition applied to the output block while it is still in VMEM:
@@ -288,7 +303,7 @@ def _merge_propagate_tail(weight_fn, weight_row,
     """
     _merge_kernel_body(
         (first_ref, last_ref, base_ref, c0_blk, x0_blk, c1_blk, x1_blk,
-         c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
+         m0_blk, m1_blk, c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
 
     g = pl.program_id(0)
     d, block = out_ref.shape
@@ -355,7 +370,18 @@ def _merge_prepass(counts, n: int, block: int):
     pad = _LANE - n_chunks
     if pad > 0:
         c_cols = jnp.pad(c_cols, ((0, 0), (0, 0), (0, pad)))
-    return first, last, base, c_cols
+
+    # sublane-major chunk maxima, replicated along lanes, for the kernel's
+    # level-1 count ([S, 128] per block; padding rows INT32_MAX so they
+    # never satisfy `max <= q`).  S is the sublane-aligned chunk count.
+    s_rows = max(-(-n_chunks // 8) * 8, 8)
+    mx = c_cols[:, _LANE - 1, :n_chunks]                  # [n_blocks, nc]
+    if s_rows > n_chunks:
+        mx = jnp.concatenate(
+            [mx, jnp.full((n_blocks, s_rows - n_chunks),
+                          jnp.iinfo(jnp.int32).max, jnp.int32)], axis=1)
+    mx_cols = jnp.broadcast_to(mx[:, :, None], (n_blocks, s_rows, _LANE))
+    return first, last, base, c_cols, mx_cols
 
 
 def _merge_specs(d, block, n_chunks, dtype):
@@ -377,12 +403,16 @@ def _merge_specs(d, block, n_chunks, dtype):
     def im_x1(g, first, *_):
         return (0, jnp.minimum(first[g] + 1, first.shape[0] - 1))
 
+    s_rows = max(-(-n_chunks // 8) * 8, 8)
     in_specs = [
         # auto-pipelined first two input blocks per output block
         pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)), im_c0),
         pl.BlockSpec((d, block), im_x0),
         pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)), im_c1),
         pl.BlockSpec((d, block), im_x1),
+        # sublane-major chunk maxima of the same two blocks (level-1 count)
+        pl.BlockSpec((1, s_rows, _LANE), im_c0),
+        pl.BlockSpec((1, s_rows, _LANE), im_c1),
         # raw refs for the rare manual path
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -419,7 +449,7 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
     d, n = x_t.shape
     _check_block(n, block)
     counts = counts.astype(jnp.int32)
-    first, last, base, c_cols = _merge_prepass(counts, n, block)
+    first, last, base, c_cols, mx_cols = _merge_prepass(counts, n, block)
     in_specs, out_specs, scratch = _merge_specs(
         d, block, block // _LANE, x_t.dtype)
 
@@ -436,7 +466,8 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, c_cols, x_t, c_cols, x_t, c_cols, x_t)
+    )(first, last, base, c_cols, x_t, c_cols, x_t, mx_cols, mx_cols,
+      c_cols, x_t)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret", "weight_family",
@@ -482,7 +513,7 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     counts = counts.astype(jnp.int32)
     coef = coef.astype(x_t.dtype)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    first, last, base, c_cols = _merge_prepass(counts, n, block)
+    first, last, base, c_cols, mx_cols = _merge_prepass(counts, n, block)
     in_specs, out_specs, scratch = _merge_specs(
         d, block, block // _LANE, x_t.dtype)
     # coef (+ weight consts) ride in front of the pipelined tensor operands
@@ -516,7 +547,8 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, seed, *args, c_cols, x_t, c_cols, x_t, c_cols, x_t)
+    )(first, last, base, seed, *args, c_cols, x_t, c_cols, x_t,
+      mx_cols, mx_cols, c_cols, x_t)
 
 
 def sorted_gather_resample(x, counts, block: int = 1024,
