@@ -147,7 +147,34 @@ def _merge_kernel_body(serve_args, out_ref):
     # chunk instead of two + a select (the gathers are the kernel's
     # dominant cost; see CLAUDE.md).  Lanes >= 2*n_chunks hold rotated-c1
     # garbage but hi <= 2*n_chunks - 1 never selects them.
-    if 2 * n_chunks <= _LANE:
+    #
+    # Entries are further PAIR-PACKED into 16-bit fields of one i32
+    # (sublane s with sublane s+64), halving the gather to 8 vregs and the
+    # reduce tree to 8: counts only ever compare against q inside THIS
+    # block's slot window [q0, q0+block), so clipping to [-1, block] (+1
+    # bias -> [0, block+1], 14 bits at block<=8192) loses nothing; q gets
+    # a +0x4000 bias so the packed per-field subtract never borrows across
+    # fields, making bit 14 of (q_f - c_f) the exact (c <= q) indicator.
+    # Int32 gathers throughout -- 16-bit/bf16 take_along_axis crashes the
+    # Mosaic compiler (CLAUDE.md), manual packing does not.
+    if 2 * n_chunks <= _LANE and block <= 8192:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+        comb = jnp.where(lane < n_chunks, c0[:, :_LANE],
+                         pltpu.roll(c1[:, :_LANE], n_chunks, 1))
+        cf = jnp.clip(comb - (q0 - 1), 0, block + 1)
+        half = _LANE // 2
+        pk = cf[:half] | (cf[half:] << 16)                       # [64, 128]
+        hi_pk = jnp.broadcast_to(hi, (half, block))
+        pieces = []
+        for j in range(n_chunks):
+            sl = slice(j * _LANE, (j + 1) * _LANE)
+            qf = (q_row[:, sl] - q0) + 1 + 0x4000
+            qpk = qf | (qf << 16)                                # [1, 128]
+            csel = jnp.take_along_axis(pk, hi_pk[:, sl], axis=1)
+            bits = ((qpk - csel) >> 14) & 0x00010001             # [64, 128]
+            s = jnp.sum(bits, axis=0, keepdims=True)
+            pieces.append((s & 0xFFFF) + (s >> 16))
+    elif 2 * n_chunks <= _LANE:
         lane = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
         comb = jnp.where(lane < n_chunks, c0[:, :_LANE],
                          pltpu.roll(c1[:, :_LANE], n_chunks, 1))
