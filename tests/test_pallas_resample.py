@@ -166,6 +166,31 @@ def test_heavy_tail_multiblock_spans(key):
     np.testing.assert_array_equal(got, _ref(x, counts))
 
 
+def test_packed_count_clip_boundaries(key):
+    """Adversarial counts pinning the pair-packed level-2 compare's clip
+    edges: cumulative counts landing EXACTLY on q0-1, q0, q0+block-1,
+    q0+block and q0+block+1 of interior output blocks (the [-1, block]
+    clip window), plus long empty-chunk runs.  Counts are constructed
+    directly (nondecreasing, counts[-1] == n) so the boundary values are
+    exact, not weight-derived."""
+    n, block = 4096, 1024
+    base = np.minimum(np.arange(1, n + 1, dtype=np.int32), n)
+    for q0 in (1024, 2048):
+        for v in (q0 - 1, q0, q0 + block - 1, q0 + block, q0 + block + 1):
+            c = np.maximum(base, 0).copy()
+            # plateau at the boundary value across two chunk boundaries
+            lo_i, hi_i = q0 - 300, q0 + 300
+            c[lo_i:hi_i] = v
+            c = np.maximum.accumulate(np.clip(c, 0, n))
+            c[-1] = n
+            counts = jnp.asarray(c, jnp.int32)
+            x = jax.random.normal(key, (n, 8))
+            got = sorted_gather_resample(x, counts, block=block,
+                                         interpret=True)
+            np.testing.assert_array_equal(
+                got, _ref(x, counts), err_msg=f"q0={q0} v={v}")
+
+
 def test_prefix_sum_kernel(key):
     """MXU blocked prefix sum matches associative_scan to f32 tolerance."""
     from composablestatespacemodels_tpu.ops.scan_kernel import prefix_sum
