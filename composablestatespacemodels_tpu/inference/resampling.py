@@ -123,8 +123,18 @@ def systematic_counts(key, weights, n: int | None = None):
     """
     m = weights.shape[0]
     n = m if n is None else n
-    cdf = _cumsum(_normalise(weights))
     u = jax.random.uniform(key, (), weights.dtype)
+    if (jax.default_backend() == "tpu" and weights.ndim == 1
+            and weights.dtype == jnp.float32):
+        # one fused Pallas pass (normalise + MXU prefix + ceil/clip +
+        # last-element guard + int cummax): bit-identical to the op-by-op
+        # composition below but one HBM read + one write instead of ~9
+        # intermediate 4 MB round-trips at N=2^20 (~0.04 ms/step of the
+        # filter); tests compare the two in interpret mode.
+        from ..ops.scan_kernel import systematic_counts_fused
+        return systematic_counts_fused(weights, jnp.sum(weights), u,
+                                       n_out=n)
+    cdf = _cumsum(_normalise(weights))
     counts = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
     counts = counts.at[-1].set(n)  # guard against cdf[-1] < 1 rounding
     return _monotone_counts(counts)

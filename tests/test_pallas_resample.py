@@ -191,6 +191,36 @@ def test_packed_count_clip_boundaries(key):
                 got, _ref(x, counts), err_msg=f"q0={q0} v={v}")
 
 
+def test_fused_counts_kernel_matches_composition(key):
+    """The one-pass fused systematic-counts kernel must be bit-identical
+    to the op-by-op composition over the same prefix kernel (the TPU
+    filter path switches between them by backend)."""
+    from composablestatespacemodels_tpu.ops.scan_kernel import (
+        prefix_sum, systematic_counts_fused)
+
+    def composition(w, u, n_out):
+        total = jnp.sum(w)
+        cdf = prefix_sum(w / total, interpret=True)
+        c = jnp.clip(jnp.ceil(n_out * cdf - u), 0, n_out).astype(jnp.int32)
+        c = c.at[-1].set(n_out)
+        return jax.lax.associative_scan(jnp.maximum, c)
+
+    for m, n_out in [(4096, 4096), (1000, 1500), (1 << 15, 1 << 15),
+                     (257, 128)]:
+        for wname, w in [
+                ("uniformish", jax.random.uniform(key, (m,)) + 0.01),
+                ("heavy", jax.random.exponential(key, (m,)) ** 4),
+                ("onehot", jnp.zeros((m,)).at[m // 2].set(1.0))]:
+            u = jax.random.uniform(jax.random.fold_in(key, 1), ())
+            got = systematic_counts_fused(w, jnp.sum(w), u, n_out=n_out,
+                                          interpret=True)
+            want = composition(w, u, n_out)
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"m={m} n_out={n_out} {wname}")
+            gotn = np.asarray(got)
+            assert gotn[-1] == n_out and (np.diff(gotn) >= 0).all()
+
+
 def test_prefix_sum_kernel(key):
     """MXU blocked prefix sum matches associative_scan to f32 tolerance."""
     from composablestatespacemodels_tpu.ops.scan_kernel import prefix_sum
