@@ -20,6 +20,15 @@ the MXU), so accuracy matches a sequential f32 sum up to summation order.
 Total traffic is one read + one write of the array: ~0.05 ms at N=2^20
 instead of 1.65 ms.
 
+**Batching.** Every public entry point is a ``custom_vmap``: one level of
+``jax.vmap`` routes to the same kernels on a (batch, blocks) grid with the
+SMEM carries re-initialised at the start of every batch row.  Pallas's
+default batching rule must never see these kernels -- it prepends the batch
+as grid axis 0, which silently turns the ``program_id(0) == 0`` carry reset
+into a once-per-BATCH reset and leaks carries across batch elements
+(observed on a real v5e: ``pmmh_chains`` vmaps the filter, and every chain
+after the first read a cdf offset by the previous chains' totals).
+
 No reference analog (the reference's cumulative sums are scalar folds,
 Resampling.scala:113-122); this is TPU-native infrastructure for
 :mod:`..inference.resampling`.
@@ -27,7 +36,7 @@ Resampling.scala:113-122); this is TPU-native infrastructure for
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def _scan_kernel(x_ref, out_ref, carry_ref):
-    g = pl.program_id(0)
+def _scan_kernel(x_ref, out_ref, carry_ref, *, gaxis: int = 0):
+    g = pl.program_id(gaxis)
 
     @pl.when(g == 0)
     def _():
@@ -63,7 +72,34 @@ def _scan_kernel(x_ref, out_ref, carry_ref):
     carry_ref[0, 0] = carry + carry_rows[r - 1, 0] + rowtot[r - 1, 0]
 
 
-def _cummax_kernel(x_ref, out_ref, carry_ref):
+def _cummax_body(c, r, rowi, lane, carrym):
+    """Exact int32 running max over a [R, 128] block given the scalar
+    carry; returns the monotonised block (Hillis-Steele log-shifts; all
+    shifts are full-width rotate+mask because [R, 1] column vectors hit
+    unsupported Mosaic concat layouts; 0 is the max-identity for
+    nonnegative counts)."""
+    m = c
+    d = 1
+    while d < _LANE:                                 # lane-direction cummax
+        m = jnp.maximum(m, jnp.where(lane >= d, pltpu.roll(m, d, 1), 0))
+        d *= 2
+    mm = m
+    d = 1
+    while d < r:                                     # per-column row cummax
+        mm = jnp.maximum(mm, jnp.where(rowi >= d, pltpu.roll(mm, d, 0), 0))
+        d *= 2
+    # exclusive row carry: previous row's running max sits in lane 127;
+    # suffix-max along lanes (rows are lane-nondecreasing) spreads it
+    e = jnp.where(rowi >= 1, pltpu.roll(mm, 1, 0), 0)
+    d = 1
+    while d < _LANE:
+        e = jnp.maximum(
+            e, jnp.where(lane < _LANE - d, pltpu.roll(e, _LANE - d, 1), 0))
+        d *= 2
+    return jnp.maximum(m, jnp.maximum(e, carrym))
+
+
+def _cummax_kernel(x_ref, out_ref, carry_ref, *, gaxis: int = 0):
     """Inclusive running max of nonnegative int32 (flattened row-major).
 
     int32 max is exact and idempotent, so Hillis-Steele log-shifts give the
@@ -71,7 +107,7 @@ def _cummax_kernel(x_ref, out_ref, carry_ref):
     *sums*, whose tree rounding can dip by a ulp (the reason this kernel
     exists: monotonising resampling counts, see resampling._monotone_counts).
     """
-    g = pl.program_id(0)
+    g = pl.program_id(gaxis)
 
     @pl.when(g == 0)
     def _():
@@ -81,79 +117,40 @@ def _cummax_kernel(x_ref, out_ref, carry_ref):
     r = x.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-
-    # all shifts are full-width rotate+mask (0 is the max-identity for
-    # nonnegative counts): [R, 1] column vectors hit unsupported Mosaic
-    # concat layouts, full [R, 128] rolls don't
-    d = 1
-    while d < _LANE:                                 # lane-direction cummax
-        x = jnp.maximum(x, jnp.where(lane >= d, pltpu.roll(x, d, 1), 0))
-        d *= 2
-    m = x
-    d = 1
-    while d < r:                                     # per-column row cummax
-        m = jnp.maximum(m, jnp.where(row >= d, pltpu.roll(m, d, 0), 0))
-        d *= 2
-    # exclusive row carry: previous row's running max sits in lane 127;
-    # suffix-max along lanes (rows are lane-nondecreasing) spreads it
-    e = jnp.where(row >= 1, pltpu.roll(m, 1, 0), 0)
-    d = 1
-    while d < _LANE:
-        e = jnp.maximum(
-            e, jnp.where(lane < _LANE - d, pltpu.roll(e, _LANE - d, 1), 0))
-        d *= 2
-    carry = carry_ref[0, 0]
-    out = jnp.maximum(x, jnp.maximum(e, carry))
+    out = _cummax_body(x, r, row, lane, carry_ref[0, 0])
     out_ref[...] = out
     carry_ref[0, 0] = jnp.max(out)
 
 
-@partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def cummax_int32(c, block_rows: int = 256, interpret: bool = False):
-    """Exact inclusive running max of a 1-D nonnegative int32 array."""
-    n = c.shape[0]
-    c = c.astype(jnp.int32)
-    tile = _LANE * block_rows
-    n_pad = (-n) % tile
-    if n_pad:
-        c = jnp.concatenate([c, jnp.zeros((n_pad,), jnp.int32)])
-    rows = c.shape[0] // _LANE
-    x = c.reshape(rows, _LANE)
-
-    out = pl.pallas_call(
-        _cummax_kernel,
-        grid=(rows // block_rows,),
-        in_specs=[pl.BlockSpec((block_rows, _LANE), lambda g: (g, 0))],
-        out_specs=pl.BlockSpec((block_rows, _LANE), lambda g: (g, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
-        interpret=interpret,
-    )(x)
-    return out.reshape(rows * _LANE)[:n]
-
-
 def _counts_kernel(u_ref, w_ref, out_ref, carryf_ref, carrym_ref, *,
-                   n: int, last_pos):
-    """Fused systematic-counts pipeline: normalise (by the prefetched
-    total), MXU prefix sum, ``clip(ceil(n*cdf - u), 0, n)``, the
-    ``counts[-1] = n`` guard, and the exact int32 running-max monotoniser
-    -- one HBM read of the weights and one write of the counts instead of
-    the ~9 intermediate 4 MB round-trips of the op-by-op pipeline.
+                   n: int, last_pos, gaxis: int = 0):
+    """Fused systematic-counts pipeline: normalise (by the staged total),
+    MXU prefix sum, ``clip(ceil(n*cdf - u), 0, n)``, the ``counts[-1] = n``
+    guard, and the exact int32 running-max monotoniser -- one HBM read of
+    the weights and one write of the counts instead of the ~9 intermediate
+    4 MB round-trips of the op-by-op pipeline.
 
     Bit-identical to ``clip(ceil(n*cumsum(w/total) - u), 0, n)`` with
     ``cumsum = prefix_sum``: the divide, matmul prefix (same
     Precision.HIGHEST), ceil/clip and int cummax are the same operations
     in the same order.
     """
-    g = pl.program_id(0)
+    g = pl.program_id(gaxis)
 
     @pl.when(g == 0)
     def _():
         carryf_ref[0, 0] = jnp.float32(0.0)
         carrym_ref[0, 0] = jnp.int32(0)
 
-    total = u_ref[0]
-    u = u_ref[1]
+    # total and u ride in lanes 0/1 of row 0 of an [8, 128] VMEM tile:
+    # a FULL (8, 128) tile, because a [B, 1, 128] batched operand puts 7
+    # padding sublanes in every element and per-block offsets then land in
+    # padding (silent garbage -- the tiling pitfall that broke the first
+    # on-chip vmap attempt).  NOT an SMEM scalar operand (the batched grid
+    # cannot block-spec those).  Consumed as [1, 1] slices -- broadcast,
+    # never scalar-extracted.
+    total = u_ref[0:1, 0:1]
+    u = u_ref[0:1, 1:2]
     x = w_ref[...] / total                           # [R, 128]
     r = x.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
@@ -178,29 +175,148 @@ def _counts_kernel(u_ref, w_ref, out_ref, carryf_ref, carrym_ref, *,
         jax.lax.broadcasted_iota(jnp.int32, c.shape, 1) == li)
     c = jnp.where((g == gi) & is_last, jnp.int32(n), c)
 
-    # exact int32 running max (same log-shift scheme as _cummax_kernel)
     lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
-    m = c
-    d = 1
-    while d < _LANE:
-        m = jnp.maximum(m, jnp.where(lane >= d, pltpu.roll(m, d, 1), 0))
-        d *= 2
-    mm = m
-    d = 1
-    while d < r:
-        mm = jnp.maximum(mm, jnp.where(rowi >= d, pltpu.roll(mm, d, 0), 0))
-        d *= 2
-    e = jnp.where(rowi >= 1, pltpu.roll(mm, 1, 0), 0)
-    d = 1
-    while d < _LANE:
-        e = jnp.maximum(
-            e, jnp.where(lane < _LANE - d, pltpu.roll(e, _LANE - d, 1), 0))
-        d *= 2
-    carrym = carrym_ref[0, 0]
-    out = jnp.maximum(m, jnp.maximum(e, carrym))
+    out = _cummax_body(c, r, rowi, lane, carrym_ref[0, 0])
     out_ref[...] = out
     carrym_ref[0, 0] = jnp.max(out)
+
+
+def _eff_block_rows(n: int, block_rows: int) -> int:
+    """Clamp the row-block size to the (8-aligned) rows the input needs.
+
+    The default 256-row tile pads an N=100 call (the PMMH reference
+    shape, once per filter step per chain) to 32768 elements; covering
+    the real rows in ONE sublane-aligned block is bit-identical (padding
+    is the identity for sum/max) and ~30x less VPU/MXU work.
+    """
+    rows_needed = -(-n // _LANE)
+    return min(block_rows, max(8, -(-rows_needed // 8) * 8))
+
+
+def _pad_rows(v, block_rows: int, dtype):
+    """Pad a 1-D array to a [rows, 128] tile multiple and reshape."""
+    n = v.shape[0]
+    tile = _LANE * block_rows
+    n_pad = (-n) % tile
+    if n_pad:
+        v = jnp.concatenate([v, jnp.zeros((n_pad,), dtype)])
+    return v.reshape(v.shape[0] // _LANE, _LANE)
+
+
+def _row_specs(block_rows: int, batched: bool):
+    """Block specs for [rows, 128] (or [B, rows, 128]) row-major operands.
+
+    The batched grid is (B, n_blocks) with the batch axis OUTER, so the
+    in-kernel ``program_id(1) == 0`` carry reset fires at the start of
+    every batch row (grid iterates the last axis fastest)."""
+    if batched:
+        return pl.BlockSpec((None, block_rows, _LANE), lambda b, g: (b, g, 0))
+    return pl.BlockSpec((block_rows, _LANE), lambda g: (g, 0))
+
+
+def _scan_like_call(kernel, x, block_rows: int, out_dtype, scratch,
+                    interpret: bool, extra_in=()):
+    """Launch ``kernel`` over [B?, rows, 128] ``x`` on a carry-safe grid.
+
+    ``extra_in`` holds (array, per-batch-block-shape) pairs staged before
+    ``x`` (the counts kernel's scalar tile)."""
+    batched = x.ndim == 3
+    rows = x.shape[-2]
+    grid = ((x.shape[0], rows // block_rows) if batched
+            else (rows // block_rows,))
+    in_specs = []
+    args = []
+    for arr, shape in extra_in:
+        if batched:
+            in_specs.append(pl.BlockSpec((None,) + shape,
+                                         lambda b, g: (b, 0, 0)))
+        else:
+            in_specs.append(pl.BlockSpec(shape, lambda g: (0, 0)))
+        args.append(arr)
+    in_specs.append(_row_specs(block_rows, batched))
+    args.append(x)
+    return pl.pallas_call(
+        partial(kernel, gaxis=1 if batched else 0),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=_row_specs(block_rows, batched),
+        out_shape=jax.ShapeDtypeStruct(x.shape, out_dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+
+@lru_cache(maxsize=None)
+def _prefix_core(block_rows: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def core(x):                                     # [rows, 128] f32
+        return _scan_like_call(_scan_kernel, x, block_rows, jnp.float32,
+                               [pltpu.SMEM((1, 1), jnp.float32)], interpret)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, x):
+        if not in_batched[0]:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        return _scan_like_call(_scan_kernel, x, block_rows, jnp.float32,
+                               [pltpu.SMEM((1, 1), jnp.float32)],
+                               interpret), True
+
+    return core
+
+
+@lru_cache(maxsize=None)
+def _cummax_core(block_rows: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def core(x):                                     # [rows, 128] int32
+        return _scan_like_call(_cummax_kernel, x, block_rows, jnp.int32,
+                               [pltpu.SMEM((1, 1), jnp.int32)], interpret)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, x):
+        if not in_batched[0]:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        return _scan_like_call(_cummax_kernel, x, block_rows, jnp.int32,
+                               [pltpu.SMEM((1, 1), jnp.int32)],
+                               interpret), True
+
+    return core
+
+
+@lru_cache(maxsize=None)
+def _counts_core(n: int, last_pos, block_rows: int, interpret: bool):
+    kernel = partial(_counts_kernel, n=n, last_pos=last_pos)
+    scratch = [pltpu.SMEM((1, 1), jnp.float32), pltpu.SMEM((1, 1), jnp.int32)]
+
+    @jax.custom_batching.custom_vmap
+    def core(scal, x):                               # [8, 128], [rows, 128]
+        return _scan_like_call(kernel, x, block_rows, jnp.int32, scratch,
+                               interpret, extra_in=[(scal, (8, _LANE))])
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, scal, x):
+        if not in_batched[0]:
+            scal = jnp.broadcast_to(scal[None], (axis_size,) + scal.shape)
+        if not in_batched[1]:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        return _scan_like_call(kernel, x, block_rows, jnp.int32, scratch,
+                               interpret,
+                               extra_in=[(scal, (8, _LANE))]), True
+
+    return core
+
+
+@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def cummax_int32(c, block_rows: int = 256, interpret: bool = False):
+    """Exact inclusive running max of a 1-D nonnegative int32 array.
+
+    vmap-safe (one level): batched calls run a (batch, blocks) grid with
+    per-row carry resets."""
+    n = c.shape[0]
+    block_rows = _eff_block_rows(n, block_rows)
+    x = _pad_rows(c.astype(jnp.int32), block_rows, jnp.int32)
+    out = _cummax_core(block_rows, interpret)(x)
+    return out.reshape(-1)[:n]
 
 
 @partial(jax.jit, static_argnames=("n_out", "block_rows", "interpret"))
@@ -215,38 +331,21 @@ def systematic_counts_fused(w, total, u, n_out: int | None = None,
     whose TPU path calls this).  ``total`` must be ``jnp.sum(w)``
     computed by the caller (the one remaining XLA pass); ``u`` the scalar
     uniform draw; ``n_out`` the output particle count (defaults to
-    ``len(w)``).
+    ``len(w)``).  vmap-safe (one level): ``pmmh_chains`` vmaps the whole
+    filter over chains.
     """
     m = w.shape[0]
     n_out = m if n_out is None else n_out
-    w = w.astype(jnp.float32)
-    tile = _LANE * block_rows
-    n_pad = (-m) % tile
-    if n_pad:
-        w = jnp.concatenate([w, jnp.zeros((n_pad,), jnp.float32)])
-    rows = w.shape[0] // _LANE
-    x = w.reshape(rows, _LANE)
-    grid = rows // block_rows
+    block_rows = _eff_block_rows(m, block_rows)
+    x = _pad_rows(w.astype(jnp.float32), block_rows, jnp.float32)
     # trace-time static position of global element m-1
-    gi = (m - 1) // tile
-    ri = ((m - 1) % tile) // _LANE
-    li = (m - 1) % _LANE
-    scal = jnp.stack([jnp.asarray(total, jnp.float32),
-                      jnp.asarray(u, jnp.float32)])
-
-    kernel = partial(_counts_kernel, n=n_out, last_pos=(gi, ri, li))
-    out = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((block_rows, _LANE), lambda g: (g, 0))],
-        out_specs=pl.BlockSpec((block_rows, _LANE), lambda g: (g, 0)),
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32),
-                        pltpu.SMEM((1, 1), jnp.int32)],
-        out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.int32),
-        interpret=interpret,
-    )(scal, x)
-    return out.reshape(rows * _LANE)[:m]
+    tile = _LANE * block_rows
+    last_pos = ((m - 1) // tile, ((m - 1) % tile) // _LANE, (m - 1) % _LANE)
+    scal = jnp.zeros((8, _LANE), jnp.float32)
+    scal = scal.at[0, 0].set(jnp.asarray(total, jnp.float32))
+    scal = scal.at[0, 1].set(jnp.asarray(u, jnp.float32))
+    out = _counts_core(n_out, last_pos, block_rows, interpret)(scal, x)
+    return out.reshape(-1)[:m]
 
 
 @partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -257,24 +356,10 @@ def prefix_sum(w, block_rows: int = 256, interpret: bool = False):
     first N entries.  Summation order is blockwise left-to-right (differs
     from ``associative_scan``'s tree order by f32 rounding only, which is
     why every resampling path must use the SAME implementation -- see
-    ``resampling._cumsum``).
+    ``resampling._cumsum``).  vmap-safe (one level).
     """
     n = w.shape[0]
-    w = w.astype(jnp.float32)
-    tile = _LANE * block_rows
-    n_pad = (-n) % tile
-    if n_pad:
-        w = jnp.concatenate([w, jnp.zeros((n_pad,), jnp.float32)])
-    rows = w.shape[0] // _LANE
-    x = w.reshape(rows, _LANE)
-
-    out = pl.pallas_call(
-        _scan_kernel,
-        grid=(rows // block_rows,),
-        in_specs=[pl.BlockSpec((block_rows, _LANE), lambda g: (g, 0))],
-        out_specs=pl.BlockSpec((block_rows, _LANE), lambda g: (g, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
-        interpret=interpret,
-    )(x)
-    return out.reshape(rows * _LANE)[:n]
+    block_rows = _eff_block_rows(n, block_rows)
+    x = _pad_rows(w.astype(jnp.float32), block_rows, jnp.float32)
+    out = _prefix_core(block_rows, interpret)(x)
+    return out.reshape(-1)[:n]

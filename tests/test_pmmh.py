@@ -64,6 +64,24 @@ def test_pmmh_chains_vmap(lg_setup, key):
     assert float(jnp.std(res.lls[:, -1])) > 0
 
 
+def test_pmmh_chains_isolated(lg_setup, key):
+    """Chain i of the vmapped runner must BIT-match a single `pmmh` run
+    with the same per-chain key: any batch-axis contamination inside the
+    vmapped filter (e.g. a pallas kernel whose cross-block carry leaks
+    across the batch) breaks this equality silently everywhere else."""
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 100)
+    res = pm.pmmh_chains(key, p0, pf_ll, perturb(0.01), 50, 3)
+    keys = jax.random.split(key, 3)
+    for i in range(3):
+        solo = pm.pmmh(keys[i], p0, pf_ll, perturb(0.01), 50)
+        np.testing.assert_array_equal(np.asarray(res.lls[i]),
+                                      np.asarray(solo.lls),
+                                      err_msg=f"chain {i} lls diverge")
+        np.testing.assert_array_equal(np.asarray(res.accepted[i]),
+                                      np.asarray(solo.accepted))
+
+
 def test_approx_pmmh_runs(lg_setup, key):
     model, p0, data = lg_setup
     pf_ll = pm.make_pf_loglik(model, data, 100)
