@@ -37,6 +37,7 @@ Equivalent by construction to
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -46,12 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 
+# Width (in 128-particle source groups) of the windowed-duplication fast
+# path: instead of selecting across all 2*n_chunks source groups per
+# output chunk, gather from a W-group window whose base the XLA prepass
+# derives from the chunk maxima (hi is nondecreasing along slots, so one
+# output chunk's sources almost always sit in a handful of adjacent
+# groups).  0 disables the fast path.  Env override for tuning.
+_DUP_W_DEFAULT = int(os.environ.get("CSSM_DUP_WINDOW", "4"))
+
 
 def _merge_kernel_body(serve_args, out_ref):
     """Shared merge-gather body (see :func:`_merge_kernel` docstring)."""
-    (first_ref, last_ref, base_ref,
+    (first_ref, last_ref, base_ref, idx0_ref, simple_ref,
      c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk, c_hbm, xt_hbm,
-     cblk, xblk, sem_c, sem_x) = serve_args
+     cblk, xblk, sem_c, sem_x, xcomb_ref, dup_window) = serve_args
     g = pl.program_id(0)
     d, block = out_ref.shape
     n_chunks = block // _LANE
@@ -212,22 +221,62 @@ def _merge_kernel_body(serve_args, out_ref):
 
     active = q_row < cmax_eff   # q >= base_ref[g] holds by construction
     lo = jnp.broadcast_to(lo1, (d, block))
-    hi_b = jnp.broadcast_to(hi, (d, block))
     act_b = jnp.broadcast_to(active, (d, block))
-    for k in range(n_chunks):
-        sl = slice(k * _LANE, (k + 1) * _LANE)
-        idx_k = lo[:, sl]
-        hi_k = hi_b[:, sl]
-        acc = jnp.zeros((d, _LANE), out_ref.dtype)
-        for gsrc in range(n_chunks):
-            src = x0_blk[:, gsrc * _LANE:(gsrc + 1) * _LANE]
-            part = jnp.take_along_axis(src, idx_k, axis=1)
-            acc = jnp.where(hi_k == gsrc, part, acc)
-        for gsrc in range(n_chunks):
-            src = x1_blk[:, gsrc * _LANE:(gsrc + 1) * _LANE]
-            part = jnp.take_along_axis(src, idx_k, axis=1)
-            acc = jnp.where(hi_k == n_chunks + gsrc, part, acc)
-        out_ref[:, sl] = jnp.where(act_b[:, sl], acc, out_ref[:, sl])
+
+    def dup_full():
+        # full-width duplication: select across all 2*n_chunks source
+        # groups per output chunk (always correct, span-independent)
+        hi_b = jnp.broadcast_to(hi, (d, block))
+        for k in range(n_chunks):
+            sl = slice(k * _LANE, (k + 1) * _LANE)
+            idx_k = lo[:, sl]
+            hi_k = hi_b[:, sl]
+            acc = jnp.zeros((d, _LANE), out_ref.dtype)
+            for gsrc in range(n_chunks):
+                src = x0_blk[:, gsrc * _LANE:(gsrc + 1) * _LANE]
+                part = jnp.take_along_axis(src, idx_k, axis=1)
+                acc = jnp.where(hi_k == gsrc, part, acc)
+            for gsrc in range(n_chunks):
+                src = x1_blk[:, gsrc * _LANE:(gsrc + 1) * _LANE]
+                part = jnp.take_along_axis(src, idx_k, axis=1)
+                acc = jnp.where(hi_k == n_chunks + gsrc, part, acc)
+            out_ref[:, sl] = jnp.where(act_b[:, sl], acc, out_ref[:, sl])
+
+    if dup_window and 2 * n_chunks > dup_window:
+        # windowed duplication: hi is nondecreasing along slots, so one
+        # output chunk's ACTIVE sources span a narrow contiguous group
+        # range.  The XLA prepass publishes a per-chunk window base
+        # (idx0, scalar prefetch) and a per-BLOCK flag (`simple`) saying
+        # every chunk's active span fits dup_window groups; when it does,
+        # W gather+selects from a dynamically lane-offset window of the
+        # combined two-block source replace the 2*n_chunks-group select.
+        # Static-unrolled chunks with dynamic 128-aligned offsets -- NOT
+        # the per-chunk dynamic-bound loops measured 3.3x slower
+        # (CLAUDE.md): control flow stays a single per-block pl.when.
+        @pl.when(simple_ref[g] == 0)
+        def _():
+            dup_full()
+
+        @pl.when(simple_ref[g] != 0)
+        def _():
+            xcomb_ref[:, :block] = x0_blk[...]
+            xcomb_ref[:, block:] = x1_blk[...]
+            for k in range(n_chunks):
+                sl = slice(k * _LANE, (k + 1) * _LANE)
+                i0 = idx0_ref[g, k]
+                win = xcomb_ref[:, pl.ds(
+                    pl.multiple_of(i0 * _LANE, _LANE), dup_window * _LANE)]
+                rel = jnp.broadcast_to(hi[:, sl] - i0, (d, _LANE))
+                idx_k = lo[:, sl]
+                acc = jnp.zeros((d, _LANE), out_ref.dtype)
+                for w in range(dup_window):
+                    part = jnp.take_along_axis(
+                        win[:, w * _LANE:(w + 1) * _LANE], idx_k, axis=1)
+                    acc = jnp.where(rel == w, part, acc)
+                out_ref[:, sl] = jnp.where(act_b[:, sl], acc,
+                                           out_ref[:, sl])
+    else:
+        dup_full()
 
     # rare extras: manual sequential DMA per additional input block
     def body(j, prev_cmax):
@@ -243,9 +292,7 @@ def _merge_kernel_body(serve_args, out_ref):
     jax.lax.fori_loop(first_ref[g] + 2, last_ref[g] + 1, body, cmax_eff)
 
 
-def _merge_kernel(first_ref, last_ref, base_ref,
-                  c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk,
-                  c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x):
+def _make_merge_kernel(dup_window: int):
     """Grid: (n_out_blocks,).
 
     Scalar-prefetch: first/last input-block index and entering count per
@@ -275,12 +322,22 @@ def _merge_kernel(first_ref, last_ref, base_ref,
     (chunk h's max is > q, hence inner <= 127).  This does ONE [128, B]
     compare instead of n_chunks of them.
     """
-    _merge_kernel_body(
-        (first_ref, last_ref, base_ref, c0_blk, x0_blk, c1_blk, x1_blk,
-         m0_blk, m1_blk, c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
+
+    def kernel(first_ref, last_ref, base_ref, idx0_ref, simple_ref,
+               c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk,
+               c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x,
+               *xcomb):
+        _merge_kernel_body(
+            (first_ref, last_ref, base_ref, idx0_ref, simple_ref,
+             c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk, c_hbm, xt_hbm,
+             cblk, xblk, sem_c, sem_x, xcomb[0] if xcomb else None,
+             dup_window), out_ref)
+
+    return kernel
 
 
-def _make_merge_propagate_kernel(weight_fn=None, weight_row: int = 0):
+def _make_merge_propagate_kernel(weight_fn=None, weight_row: int = 0,
+                                 dup_window: int = 0):
     """Build the fused merge+propagate kernel, optionally also computing
     the NEXT observation's log-weights in the output pipeline.
 
@@ -292,28 +349,34 @@ def _make_merge_propagate_kernel(weight_fn=None, weight_row: int = 0):
     step then never re-reads the cloud to weight it.
     """
 
-    def kernel(first_ref, last_ref, base_ref, seed_ref, *rest):
+    def kernel(first_ref, last_ref, base_ref, seed_ref, idx0_ref,
+               simple_ref, *rest):
         if weight_fn is None:
             (coef_blk, c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk,
-             c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x) = rest
+             c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x,
+             *xcomb) = rest
             wconsts = None
         else:
             (coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
              m0_blk, m1_blk,
-             c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x) = rest
+             c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x,
+             *xcomb) = rest
         _merge_propagate_tail(
-            weight_fn, weight_row, first_ref, last_ref, base_ref, seed_ref,
+            weight_fn, weight_row, dup_window, first_ref, last_ref,
+            base_ref, seed_ref, idx0_ref, simple_ref,
             coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
-            m0_blk, m1_blk, c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x)
+            m0_blk, m1_blk, c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c,
+            sem_x, xcomb[0] if xcomb else None)
 
     return kernel
 
 
-def _merge_propagate_tail(weight_fn, weight_row,
+def _merge_propagate_tail(weight_fn, weight_row, dup_window,
                           first_ref, last_ref, base_ref, seed_ref,
+                          idx0_ref, simple_ref,
                           coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
                           m0_blk, m1_blk, c_hbm, xt_hbm, out_ref,
-                          cblk, xblk, sem_c, sem_x):
+                          cblk, xblk, sem_c, sem_x, xcomb_ref):
     """Merge-gather resample fused with a diagonal affine-Gaussian
     transition applied to the output block while it is still in VMEM:
 
@@ -329,8 +392,9 @@ def _merge_propagate_tail(weight_fn, weight_row,
     draws ride the VPU instead of a separate XLA dispatch.
     """
     _merge_kernel_body(
-        (first_ref, last_ref, base_ref, c0_blk, x0_blk, c1_blk, x1_blk,
-         m0_blk, m1_blk, c_hbm, xt_hbm, cblk, xblk, sem_c, sem_x), out_ref)
+        (first_ref, last_ref, base_ref, idx0_ref, simple_ref,
+         c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk, c_hbm, xt_hbm,
+         cblk, xblk, sem_c, sem_x, xcomb_ref, dup_window), out_ref)
 
     g = pl.program_id(0)
     d, block = out_ref.shape
@@ -370,7 +434,7 @@ def _merge_propagate_tail(weight_fn, weight_row,
     out_ref[...] = out
 
 
-def _merge_prepass(counts, n: int, block: int):
+def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
     """XLA prepass: input-block range + entering count per output block.
 
     first_g = #blocks whose max count <= g*block (== anc_{gB} // block):
@@ -378,6 +442,14 @@ def _merge_prepass(counts, n: int, block: int):
     binary search over the full counts array.  Also returns the
     column-packed counts (block j, column m = entries [128m, 128(m+1));
     lanes padded to >= 128 so the per-block DMA tile stays aligned).
+
+    With ``dup_w`` > 0 additionally derives the windowed-duplication
+    scalars: per output chunk (g, k) the group-window base ``idx0[g, k]``
+    (the kernel's hi at the chunk's first slot, clamped so the window
+    stays inside the 2*n_chunks combined range) and per output block the
+    ``simple[g]`` flag (1 iff every chunk's ACTIVE hi span fits dup_w
+    groups -- slots at/after the two-block cmax are masked in the kernel,
+    so their span is clamped out of the test).
     """
     n_blocks = n // block
     n_chunks = block // _LANE
@@ -403,20 +475,53 @@ def _merge_prepass(counts, n: int, block: int):
     # never satisfy `max <= q`).  S is the sublane-aligned chunk count.
     s_rows = max(-(-n_chunks // 8) * 8, 8)
     mx = c_cols[:, _LANE - 1, :n_chunks]                  # [n_blocks, nc]
+    big = jnp.iinfo(jnp.int32).max
     if s_rows > n_chunks:
-        mx = jnp.concatenate(
-            [mx, jnp.full((n_blocks, s_rows - n_chunks),
-                          jnp.iinfo(jnp.int32).max, jnp.int32)], axis=1)
-    mx_cols = jnp.broadcast_to(mx[:, :, None], (n_blocks, s_rows, _LANE))
-    return first, last, base, c_cols, mx_cols
+        mx_pad = jnp.concatenate(
+            [mx, jnp.full((n_blocks, s_rows - n_chunks), big, jnp.int32)],
+            axis=1)
+    else:
+        mx_pad = mx
+    mx_cols = jnp.broadcast_to(mx_pad[:, :, None], (n_blocks, s_rows, _LANE))
+
+    if dup_w:
+        # windowed-duplication scalars, mirroring the kernel's level-1
+        # count over the SAME two-block maxima window (second block's
+        # contributions masked exactly like the kernel's `valid2`)
+        nc = n_chunks
+        second = jnp.minimum(first + 1, n_blocks - 1)
+        valid2 = ((first + 1) <= (n_blocks - 1))[:, None]
+        win = jnp.concatenate(
+            [mx[first], jnp.where(valid2, mx[second], big)], axis=1)
+        cmax_eff = jnp.where(valid2[:, 0], mx[second][:, -1], mx[first][:, -1])
+        k = jnp.arange(nc, dtype=jnp.int32)
+        q_start = edges[:, None] + k[None, :] * _LANE     # [n_blocks, nc]
+        # active slots satisfy q < cmax_eff; clamping the span probe there
+        # keeps heavy-tail blocks (whose upper slots are all masked) on
+        # the fast path
+        q_end = jnp.minimum(q_start + (_LANE - 1), cmax_eff[:, None] - 1)
+        h_start = jnp.sum((win[:, None, :] <= q_start[:, :, None]),
+                          axis=2).astype(jnp.int32)
+        h_end = jnp.sum((win[:, None, :] <= q_end[:, :, None]),
+                        axis=2).astype(jnp.int32)
+        hi_start = jnp.minimum(h_start, 2 * nc - 1)
+        hi_end = jnp.minimum(h_end, 2 * nc - 1)
+        idx0 = jnp.minimum(hi_start, 2 * nc - dup_w).astype(jnp.int32)
+        simple = jnp.all(hi_end - idx0 <= dup_w - 1, axis=1).astype(jnp.int32)
+    else:
+        idx0 = jnp.zeros((n_blocks, n_chunks), jnp.int32)
+        simple = jnp.zeros((n_blocks,), jnp.int32)
+    return first, last, base, c_cols, mx_cols, idx0, simple
 
 
-def _merge_specs(d, block, n_chunks, dtype):
+def _merge_specs(d, block, n_chunks, dtype, dup_w: int = 0):
     """Block/scratch specs shared by the plain and fused merge kernels.
 
     Scalar-prefetch operands precede the tensor operands; index maps take
     (g, *prefetch_refs) and read the prefetched ``first`` array (always
-    the first prefetch operand, whatever the prefetch count).
+    the first prefetch operand, whatever the prefetch count).  With
+    ``dup_w`` a combined two-block source scratch is appended for the
+    windowed-duplication fast path.
     """
     def im_c0(g, first, *_):
         return (first[g], 0, 0)
@@ -451,7 +556,18 @@ def _merge_specs(d, block, n_chunks, dtype):
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
     ]
+    if dup_w:
+        scratch.append(pltpu.VMEM((d, 2 * block), dtype))
     return in_specs, out_specs, scratch
+
+
+def _resolve_dup_window(block: int, dup_window):
+    """Static dup-window width: env/default, disabled when it would not
+    shrink the 2*n_chunks select (tiny blocks)."""
+    dw = _DUP_W_DEFAULT if dup_window is None else int(dup_window)
+    if dw <= 0 or 2 * (block // _LANE) <= dw:
+        return 0
+    return dw
 
 
 def _check_block(n: int, block: int):
@@ -461,9 +577,10 @@ def _check_block(n: int, block: int):
             f"of {_LANE} with at most {_LANE} chunks")
 
 
-@partial(jax.jit, static_argnames=("block", "interpret"))
+@partial(jax.jit, static_argnames=("block", "interpret", "dup_window"))
 def sorted_gather_resample_t(x_t, counts, block: int = 1024,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             dup_window: int | None = None):
     """Transposed-layout core: ``y_t[:, j] = x_t[:, anc_j]``.
 
     Args:
@@ -472,16 +589,20 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
         ``counts[-1] == N``.
       block: tile size (multiple of 128; block/128 <= 128).
       interpret: run in Pallas interpreter mode (CPU testing).
+      dup_window: windowed-duplication width in source groups (None =
+        the CSSM_DUP_WINDOW env default, 0 = disable the fast path).
     """
     d, n = x_t.shape
     _check_block(n, block)
+    dw = _resolve_dup_window(block, dup_window)
     counts = counts.astype(jnp.int32)
-    first, last, base, c_cols, mx_cols = _merge_prepass(counts, n, block)
+    first, last, base, c_cols, mx_cols, idx0, simple = _merge_prepass(
+        counts, n, block, dw)
     in_specs, out_specs, scratch = _merge_specs(
-        d, block, block // _LANE, x_t.dtype)
+        d, block, block // _LANE, x_t.dtype, dw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(n // block,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -489,22 +610,23 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
     )
 
     return pl.pallas_call(
-        _merge_kernel,
+        _make_merge_kernel(dw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, c_cols, x_t, c_cols, x_t, mx_cols, mx_cols,
-      c_cols, x_t)
+    )(first, last, base, idx0, simple, c_cols, x_t, c_cols, x_t,
+      mx_cols, mx_cols, c_cols, x_t)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret", "weight_family",
-                                   "weight_row"))
+                                   "weight_row", "dup_window"))
 def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
                                        block: int = 1024,
                                        interpret: bool = False,
                                        weight_family=None,
                                        weight_consts=None,
-                                       weight_row: int | None = None):
+                                       weight_row: int | None = None,
+                                       dup_window: int | None = None):
     """Fused resample + diagonal affine-Gaussian propagate, transposed.
 
     ``y_t[:, j] = a * x_t[:, anc_j] + b + s * z_j`` with z ~ N(0, 1) drawn
@@ -537,12 +659,14 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     ncol = 4 if weighted else 3
     if coef.shape != (d, ncol):
         raise ValueError(f"coef must be [d={d}, {ncol}], got {coef.shape}")
+    dw = _resolve_dup_window(block, dup_window)
     counts = counts.astype(jnp.int32)
     coef = coef.astype(x_t.dtype)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    first, last, base, c_cols, mx_cols = _merge_prepass(counts, n, block)
+    first, last, base, c_cols, mx_cols, idx0, simple = _merge_prepass(
+        counts, n, block, dw)
     in_specs, out_specs, scratch = _merge_specs(
-        d, block, block // _LANE, x_t.dtype)
+        d, block, block // _LANE, x_t.dtype, dw)
     # coef (+ weight consts) ride in front of the pipelined tensor operands
     head = [pl.BlockSpec((d, ncol), lambda g, *_: (0, 0))]
     args = [coef]
@@ -562,7 +686,7 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     in_specs = head + in_specs
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n // block,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -570,12 +694,12 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     )
 
     return pl.pallas_call(
-        _make_merge_propagate_kernel(weight_fn, weight_row or 0),
+        _make_merge_propagate_kernel(weight_fn, weight_row or 0, dw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, seed, *args, c_cols, x_t, c_cols, x_t,
-      mx_cols, mx_cols, c_cols, x_t)
+    )(first, last, base, seed, idx0, simple, *args, c_cols, x_t, c_cols,
+      x_t, mx_cols, mx_cols, c_cols, x_t)
 
 
 def sorted_gather_resample(x, counts, block: int = 1024,

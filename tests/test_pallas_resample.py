@@ -166,6 +166,53 @@ def test_heavy_tail_multiblock_spans(key):
     np.testing.assert_array_equal(got, _ref(x, counts))
 
 
+@pytest.mark.parametrize("dup_window", [0, 2, 4])
+def test_dup_window_paths_match(key, dup_window):
+    """Windowed duplication (every regime, incl. both the fast path and
+    the full-select fallback) must be bit-identical to dup_window=0."""
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        sorted_gather_resample_t)
+
+    n = 8192
+    x_t = jax.random.normal(key, (8, n))
+    for wname, w in [
+            ("uniformish", jax.random.uniform(key, (n,)) + 0.01),
+            ("heavy", jax.random.exponential(key, (n,)) ** 4),
+            ("onehot", jnp.zeros((n,)).at[5000].set(1.0)),
+            ("twohot", jnp.zeros((n,)).at[1].set(0.5).at[n - 2].set(0.5))]:
+        counts = systematic_counts(jax.random.fold_in(key, hash(wname) % 97),
+                                   w)
+        got = sorted_gather_resample_t(x_t, counts, block=1024,
+                                       interpret=True,
+                                       dup_window=dup_window)
+        want = _ref(x_t.T, counts).T
+        np.testing.assert_array_equal(np.asarray(got), want,
+                                      err_msg=f"{wname} W={dup_window}")
+
+
+def test_dup_window_mixed_simple_and_fallback(key):
+    """A weight regime where W=2 leaves SOME blocks on the fallback path
+    (heavy tails) -- both pl.when branches must coexist in one launch."""
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        _merge_prepass, sorted_gather_resample_t)
+
+    n = 8192
+    # uniform weights everywhere except three adjacent source groups with
+    # ~40 offspring each: those ~120 output slots cross 3 group
+    # boundaries inside one 128-slot chunk (span 4 > W=2 -> fallback),
+    # while uniform blocks stay on the fast path
+    w = jnp.ones((n,))
+    w = w.at[40 * 128:43 * 128].set(0.3125)
+    counts = systematic_counts(key, w)
+    _, _, _, _, _, _, simple = _merge_prepass(counts, n, 1024, 2)
+    s = np.asarray(simple)
+    assert 0 < s.sum() < s.size, f"fixture too tame: {s.sum()}/{s.size}"
+    x_t = jax.random.normal(key, (8, n))
+    got = sorted_gather_resample_t(x_t, counts, block=1024, interpret=True,
+                                   dup_window=2)
+    np.testing.assert_array_equal(np.asarray(got), _ref(x_t.T, counts).T)
+
+
 def test_packed_count_clip_boundaries(key):
     """Adversarial counts pinning the pair-packed level-2 compare's clip
     edges: cumulative counts landing EXACTLY on q0-1, q0, q0+block-1,
@@ -219,6 +266,25 @@ def test_fused_counts_kernel_matches_composition(key):
                 got, want, err_msg=f"m={m} n_out={n_out} {wname}")
             gotn = np.asarray(got)
             assert gotn[-1] == n_out and (np.diff(gotn) >= 0).all()
+
+
+def test_fused_counts_kernel_vmaps(key):
+    """pmmh_chains vmaps the whole filter over chains, so the fused counts
+    kernel must batch (round-3 regression: a 2-element SMEM scalar operand
+    had no valid batched block spec and broke the chains bench's TPU
+    lowering -- the scalars now ride a [1, 128] VMEM tile)."""
+    from composablestatespacemodels_tpu.ops.scan_kernel import (
+        systematic_counts_fused)
+
+    n_batch, m = 5, 1024
+    ws = jax.random.uniform(key, (n_batch, m)) + 0.01
+    us = jax.random.uniform(jax.random.fold_in(key, 1), (n_batch,))
+    got = jax.vmap(lambda w, u: systematic_counts_fused(
+        w, jnp.sum(w), u, n_out=m, interpret=True))(ws, us)
+    for i in range(n_batch):
+        want = systematic_counts_fused(ws[i], jnp.sum(ws[i]), us[i],
+                                       n_out=m, interpret=True)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"chain {i}")
 
 
 def test_prefix_sum_kernel(key):
