@@ -39,6 +39,43 @@ from composablestatespacemodels_tpu.models import (branch, leaf, ou_params,
 BASELINE_PARTICLE_STEPS_PER_SEC = 1.31e6
 
 
+def wait_for_backend(max_wait_s: float = 1200.0, probe_every_s: float = 60.0):
+    """Block until the default backend answers a trivial dispatch.
+
+    The TPU tunnel can be transiently unavailable for tens of minutes
+    (observed: >1 h); without this guard a bench launched into the outage
+    records rc != 0 instead of a number.  Probes run in a subprocess --
+    a hung backend init in THIS process would poison every later attempt.
+    """
+    import os
+    import subprocess
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "assert float(jnp.sum(jnp.ones((8,)))) == 8.0"],
+                capture_output=True, timeout=probe_every_s + 120,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False    # hung backend init counts as down
+        if ok:
+            if attempt > 1:
+                print(f"backend up after {attempt} probes", file=sys.stderr)
+            return
+        if time.time() > deadline:
+            print("backend still unavailable after "
+                  f"{max_wait_s:.0f}s; proceeding anyway", file=sys.stderr)
+            return
+        print(f"backend probe {attempt} failed; retrying in "
+              f"{probe_every_s:.0f}s", file=sys.stderr)
+        time.sleep(probe_every_s)
+
+
 def flagship_model():
     model = (cssm.poisson(cssm.ou_process(1))
              + cssm.seasonal(24, 3, cssm.ou_process(6)))
@@ -215,6 +252,7 @@ def main():
     n = args.particles or n
     t = args.steps or t
 
+    wait_for_backend()
     throughput = run(n, t)
     result = {
         "metric": f"particle-steps/sec at N={n:.0e} "
