@@ -53,7 +53,13 @@ _LANE = 128
 # derives from the chunk maxima (hi is nondecreasing along slots, so one
 # output chunk's sources almost always sit in a handful of adjacent
 # groups).  0 disables the fast path.  Env override for tuning.
-_DUP_W_DEFAULT = int(os.environ.get("CSSM_DUP_WINDOW", "4"))
+#
+# Default OFF until measured on chip: the path is bit-exact in interpret
+# mode (tests) but its dynamic 128-aligned lane-offset loads have never
+# been through the real Mosaic compiler, and a similar windowed variant
+# measured zero net win in round 3 (docs/performance.md negative
+# results).  Set CSSM_DUP_WINDOW=4 to enable.
+_DUP_W_DEFAULT = int(os.environ.get("CSSM_DUP_WINDOW", "0"))
 
 
 def _merge_kernel_body(serve_args, out_ref):
