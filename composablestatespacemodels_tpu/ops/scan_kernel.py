@@ -142,15 +142,19 @@ def _counts_kernel(u_ref, w_ref, out_ref, carryf_ref, carrym_ref, *,
         carryf_ref[0, 0] = jnp.float32(0.0)
         carrym_ref[0, 0] = jnp.int32(0)
 
-    # total and u ride in lanes 0/1 of row 0 of an [8, 128] VMEM tile:
-    # a FULL (8, 128) tile, because a [B, 1, 128] batched operand puts 7
-    # padding sublanes in every element and per-block offsets then land in
-    # padding (silent garbage -- the tiling pitfall that broke the first
-    # on-chip vmap attempt).  NOT an SMEM scalar operand (the batched grid
-    # cannot block-spec those).  Consumed as [1, 1] slices -- broadcast,
-    # never scalar-extracted.
-    total = u_ref[0:1, 0:1]
-    u = u_ref[0:1, 1:2]
+    # total and u ride LANE-REPLICATED in rows 0/1 of an [8, 128] VMEM
+    # tile: a FULL (8, 128) tile, because a [B, 1, 128] batched operand
+    # puts 7 padding sublanes in every element and per-block offsets then
+    # land in padding (silent garbage -- the tiling pitfall that broke the
+    # first on-chip vmap attempt).  NOT an SMEM scalar operand (the
+    # batched grid cannot block-spec those).  Consumed as [1, 128] row
+    # slices: broadcasting a [1, 1] slice against [R, 128] needs a
+    # both-sublanes-and-lanes vector.broadcast that the Mosaic compiler
+    # rejects ("Not implemented", reproduced on a v5e at every block
+    # shape); a [1, 128] row only broadcasts along sublanes, the same
+    # pattern the merge kernel's level-1 count runs on chip.
+    total = u_ref[0:1, :]
+    u = u_ref[1:2, :]
     x = w_ref[...] / total                           # [R, 128]
     r = x.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
@@ -341,9 +345,11 @@ def systematic_counts_fused(w, total, u, n_out: int | None = None,
     # trace-time static position of global element m-1
     tile = _LANE * block_rows
     last_pos = ((m - 1) // tile, ((m - 1) % tile) // _LANE, (m - 1) % _LANE)
+    # rows 0/1 lane-replicated (the kernel consumes [1, 128] row slices;
+    # see the broadcast note in _counts_kernel)
     scal = jnp.zeros((8, _LANE), jnp.float32)
-    scal = scal.at[0, 0].set(jnp.asarray(total, jnp.float32))
-    scal = scal.at[0, 1].set(jnp.asarray(u, jnp.float32))
+    scal = scal.at[0, :].set(jnp.asarray(total, jnp.float32))
+    scal = scal.at[1, :].set(jnp.asarray(u, jnp.float32))
     out = _counts_core(n_out, last_pos, block_rows, interpret)(scal, x)
     return out.reshape(-1)[:m]
 
