@@ -54,12 +54,13 @@ _LANE = 128
 # output chunk's sources almost always sit in a handful of adjacent
 # groups).  0 disables the fast path.  Env override for tuning.
 #
-# Default OFF until measured on chip: the path is bit-exact in interpret
-# mode (tests) but its dynamic 128-aligned lane-offset loads have never
-# been through the real Mosaic compiler, and a similar windowed variant
-# measured zero net win in round 3 (docs/performance.md negative
-# results).  Set CSSM_DUP_WINDOW=4 to enable.
-_DUP_W_DEFAULT = int(os.environ.get("CSSM_DUP_WINDOW", "0"))
+# Default 3, measured on a real v5e (full fused filter, N=2^20, T=1000,
+# ms/step): W=0 1.312, W=2 1.077, W=3 0.955, W=4 0.968, W=8 1.028 --
+# a 27% step-time cut, bit-exact on chip in every weight regime
+# (uniform/mild/heavy/degenerate/two-spikes); blocks whose active span
+# exceeds W fall back to the full 2*n_chunks select per-block, so the
+# worst case equals W=0.
+_DUP_W_DEFAULT = int(os.environ.get("CSSM_DUP_WINDOW", "3"))
 
 
 def _merge_kernel_body(serve_args, out_ref):

@@ -166,7 +166,7 @@ def test_heavy_tail_multiblock_spans(key):
     np.testing.assert_array_equal(got, _ref(x, counts))
 
 
-@pytest.mark.parametrize("dup_window", [0, 2, 4])
+@pytest.mark.parametrize("dup_window", [0, 2, 3, 4])
 def test_dup_window_paths_match(key, dup_window):
     """Windowed duplication (every regime, incl. both the fast path and
     the full-select fallback) must be bit-identical to dup_window=0."""
