@@ -248,6 +248,13 @@ class LeafModel(Model):
         if _is_obs_leaf and self.obs.needs_scale and node.scale is None:
             raise ValueError(
                 f"{type(self.obs).__name__} requires an observation scale")
+        if node.scale is not None and jnp.ndim(node.scale) != 0:
+            # a [1]-shaped scale silently broadcasts into every downstream
+            # scalar (ll carries, predictive variances) and surfaces as an
+            # opaque lax.scan carry-shape error; fail at construction
+            raise ValueError(
+                "observation scale must be a scalar, got shape "
+                f"{jnp.shape(node.scale)}")
         if isinstance(self.ftype, Fourier):
             want = 2 * self.ftype.harmonics
             if self._sde.dim != want:

@@ -96,6 +96,13 @@ def test_validate_requires_scale():
         m.validate_params(leaf(param_node(None, brownian_params(0, 1, 1))))
 
 
+def test_validate_scale_must_be_scalar():
+    m = linear(brownian_motion(1))
+    with pytest.raises(ValueError, match="scalar"):
+        m.validate_params(
+            leaf(param_node(jnp.asarray([0.5]), brownian_params(0, 1, 1))))
+
+
 def test_validate_wrong_sde_params():
     m = linear(brownian_motion(1))
     with pytest.raises(TypeError):
