@@ -140,7 +140,10 @@ def _kernel_block(n: int) -> int:
             b = 0
         if b > 0 and n % b == 0:
             return b
-    return 2048 if n % 2048 == 0 else 1024
+    for b in (4096, 2048):
+        if n % b == 0:
+            return b
+    return 1024
 
 
 def _make_save_fn(model: Model, store, interval: float):

@@ -256,7 +256,8 @@ def distributed_systematic_resample_t(x_t_local, w_local, key, axis: str,
 
     if pallas_fill:
         from ..ops.resample_kernel import sorted_gather_resample_t
-        kblock = 2048 if local_n % 2048 == 0 else 1024  # see filter.py note
+        from ..inference.filter import _kernel_block
+        kblock = _kernel_block(local_n)
 
         def fill(out, filled, xb_t, cb, cp):
             # shift the visiting block's global counts into this shard's
