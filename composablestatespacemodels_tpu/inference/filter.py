@@ -217,12 +217,25 @@ def _make_save_fn_t(model: Model, store, interval: float):
 
 def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
                    n_particles: int, key, t0, x_init,
-                   store, ess_threshold, interval: float):
+                   store, ess_threshold, interval: float,
+                   fused_propagate: bool = False):
     """Transposed-layout scan: particles as [d, N] with the particle axis on
     TPU lanes, resampling via the Pallas merge-gather kernel with no
     per-step relayouts (an [N, d] <-> [d, N] transpose at N ~ 1e6 costs
-    more than the entire resampling kernel)."""
-    from ..ops.resample_kernel import sorted_gather_resample_t, systematic_counts
+    more than the entire resampling kernel).
+
+    With ``fused_propagate`` (the 'systematic-pallas-fused' scheme under
+    store modes the fully-fused scan cannot serve -- per-step summaries
+    need the *unpropagated* resampled cloud), the per-step propagation
+    runs through :func:`..ops.resample_kernel.propagate_weights_t`: the
+    exact diagonal affine-Gaussian transition with in-kernel Box-Muller
+    noise, plus the observation weights fused into a padding row when
+    the family provides ``kernel_log_density`` -- statistically (not
+    bitwise) equivalent to the XLA propagate this replaces.
+    """
+    from ..ops.resample_kernel import (propagate_weights_t,
+                                       sorted_gather_resample_t,
+                                       systematic_counts)
 
     save_fn = _make_save_fn_t(model, store, interval)
 
@@ -240,16 +253,53 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
     n = n_particles
     kblock = _kernel_block(n)
 
+    if fused_propagate:
+        sde = model.sde
+        sp = model.sde_params(params)
+        wspec = model.obs.kernel_log_density()
+        weighted = wspec is not None
+        if weighted:
+            make_consts, _ = wspec
+            obs_scale = model.obs_scale(params)
+            dk = d + (d_pad if d_pad else 8)
+            wrow = dk - 1
+        else:
+            dk = d + d_pad
+            wrow = None
+
     def step(carry, inp):
         x_t, wn, t_prev, ll, ess = carry
         t, y, mask, k = inp
         k_prop, k_res, k_save = jax.random.split(k, 3)
 
-        x1 = model.step_t(params, k_prop, x_t, t - t_prev)
-
         y_safe = jnp.where(mask, y, 0.0)
-        gamma = model.f_t(x1, t)
-        logw = model.log_density(params, gamma, y_safe)
+        if fused_propagate:
+            a, bb, q = sde.transition_coeffs(sp, t - t_prev)
+            cols = [a, bb, jnp.sqrt(q)]
+            consts = None
+            if weighted:
+                cols.append(model.design_vector(t))
+                consts = make_consts(y_safe, obs_scale)
+            coef = jnp.stack(cols, axis=1).astype(dtype)
+            if dk > d:
+                coef = jnp.concatenate(
+                    [coef, jnp.zeros((dk - d, len(cols)), dtype)], axis=0)
+            seed = jax.random.randint(k_prop, (1,), 0, 2**31 - 1, jnp.int32)
+            xp = (jnp.concatenate([x_t, jnp.zeros((dk - d, n), dtype)],
+                                  axis=0) if dk > d else x_t)
+            x1p = propagate_weights_t(
+                xp, coef, seed, block=kblock,
+                weight_family=model.obs if weighted else None,
+                weight_consts=consts, weight_row=wrow)
+            x1 = x1p[:d]
+            if weighted:
+                logw = x1p[wrow]
+            else:
+                logw = model.log_density(params, model.f_t(x1, t), y_safe)
+        else:
+            x1 = model.step_t(params, k_prop, x_t, t - t_prev)
+            gamma = model.f_t(x1, t)
+            logw = model.log_density(params, gamma, y_safe)
         logw = jnp.where(mask, logw, 0.0)
 
         # carry normalised weights across steps exactly as _filter_impl does:
@@ -471,9 +521,16 @@ def _filter_impl(model: Model, params: Tree, data: TimeSeries,
         return _filter_impl_t(model, params, data, n_particles, key, t0,
                               x_init, store, ess_threshold, interval)
     if resample == "systematic-pallas-fused":
-        return _filter_impl_t_fused(model, params, data, n_particles, key,
-                                    t0, x_init, store, ess_threshold,
-                                    interval)
+        if store in ("ll", None):
+            return _filter_impl_t_fused(model, params, data, n_particles,
+                                        key, t0, x_init, store,
+                                        ess_threshold, interval)
+        # store modes need the unpropagated resampled cloud, so the
+        # propagate cannot fold into the resample kernel; it runs as a
+        # standalone fused propagate(+weights) kernel instead
+        return _filter_impl_t(model, params, data, n_particles, key, t0,
+                              x_init, store, ess_threshold, interval,
+                              fused_propagate=True)
     resample_fn = rs.get_scheme(resample)
     save_fn = _make_save_fn(model, store, interval)
 
@@ -580,10 +637,12 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
         layout with the merge-gather resampling kernel (bit-compared
         against 'systematic'; requires N divisible by 1024 -- see
         ops/resample_kernel.py), and 'systematic-pallas-fused'
-        additionally folds the next step's exact propagation into the
-        kernel's output pipeline (the headline perf path; statistically --
-        not bitwise -- equivalent; models with exact transitions and
-        ``store='ll'`` only).
+        additionally runs the exact propagation with in-kernel noise
+        (the headline perf path; statistically -- not bitwise --
+        equivalent; models with exact transitions only): under
+        ``store='ll'`` the propagate folds into the resample kernel's
+        output pipeline; other store modes keep the resampled cloud and
+        run a standalone fused propagate(+weights) kernel instead.
       t0: filter start time (default: time of the first observation, as the
         reference ``llFilter``/``filter``, ParticleFilter.scala:137-158).
       initial_state: optional fixed initial state ``[d]`` (FilterInit) or a
@@ -597,15 +656,23 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
       mesh: optional ``jax.sharding.Mesh`` with a
         :data:`~..parallel.mesh.PARTICLE_AXIS` axis: shard the particle
         cloud over it and run the multi-chip filter (distributed systematic
-        resampling over ICI; see :mod:`..parallel.sharded_filter`).  Only
-        ``resample='systematic'`` is supported on a mesh.
+        resampling over ICI; see :mod:`..parallel.sharded_filter`).
+        ``resample='systematic'`` (default semantics) and
+        ``'systematic-pallas-fused'`` (fused propagate on every shard)
+        are supported on a mesh.
     """
     if mesh is not None:
         from ..parallel.sharded_filter import sharded_bootstrap_filter
 
-        if resample != "systematic":
+        if resample == "systematic-pallas-fused":
+            # fused propagate on every shard; the distributed systematic
+            # resample itself is unchanged
+            mesh_kwargs = dict(mesh_kwargs, fused_propagate=True,
+                               transposed=True)
+        elif resample != "systematic":
             raise ValueError(
-                f"mesh= requires resample='systematic' (got {resample!r}); "
+                "mesh= requires resample='systematic' (or "
+                f"'systematic-pallas-fused'; got {resample!r}); "
                 "distributed resampling shares one uniform across shards")
         return sharded_bootstrap_filter(
             model, params, data, n_particles, key, mesh, t0=t0,

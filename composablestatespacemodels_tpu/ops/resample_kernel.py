@@ -403,15 +403,27 @@ def _merge_propagate_tail(weight_fn, weight_row, dup_window,
          c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk, c_hbm, xt_hbm,
          cblk, xblk, sem_c, sem_x, xcomb_ref, dup_window), out_ref)
 
+    out_ref[...] = _propagate_weights_block(
+        out_ref[...], coef_blk, wconsts, seed_ref, weight_fn, weight_row)
+
+
+def _propagate_weights_block(x, coef_blk, wconsts, seed_ref, weight_fn,
+                             weight_row):
+    """Apply the diagonal affine-Gaussian transition (plus the optional
+    fused log-weight row) to a [d, block] VMEM-resident value.
+
+    Box-Muller with full cos+sin pairing: one (log, sqrt, cos, sin)
+    group yields TWO independent standard normals, halving the VPU
+    transcendental cost (measured: the dominant cost of the fused tail).
+    24-bit uniforms: u1 in (0, 1] (never 0 -- log-safe), u2 in [0, 1);
+    int32 intermediates (exact below 2^24) because Mosaic's uint32->f32
+    convert support is spottier than int32->f32.  The per-core PRNG is
+    seeded from ``seed_ref[0]`` and the grid block id, so blocks are
+    decorrelated within a call and the caller decorrelates steps.
+    """
     g = pl.program_id(0)
-    d, block = out_ref.shape
+    d, block = x.shape
     pltpu.prng_seed(seed_ref[0], g)
-    # Box-Muller with full cos+sin pairing: one (log, sqrt, cos, sin)
-    # group yields TWO independent standard normals, halving the VPU
-    # transcendental cost (measured: the dominant cost of the fused tail).
-    # 24-bit uniforms: u1 in (0, 1] (never 0 -- log-safe), u2 in [0, 1);
-    # int32 intermediates (exact below 2^24) because Mosaic's uint32->f32
-    # convert support is spottier than int32->f32.
     half = block // 2
     b1 = pltpu.prng_random_bits((d, half))
     b2 = pltpu.prng_random_bits((d, half))
@@ -427,10 +439,10 @@ def _merge_propagate_tail(weight_fn, weight_row, dup_window,
     a = coef_blk[:, 0:1]                                          # [d, 1]
     b = coef_blk[:, 1:2]
     s = coef_blk[:, 2:3]
-    out = a * out_ref[...] + b + s * z
+    out = a * x + b + s * z
     if weight_fn is not None:
-        # next-step log-weights from the propagated block, written into
-        # the designated padding row (design column is zero there, so the
+        # log-weights of the propagated block, written into the
+        # designated padding row (design column is zero there, so the
         # weight row never contaminates gamma)
         fc = coef_blk[:, 3:4]                                     # [d, 1]
         gamma = jnp.sum(fc * out, axis=0, keepdims=True)          # [1, B]
@@ -438,7 +450,7 @@ def _merge_propagate_tail(weight_fn, weight_row, dup_window,
         rowid = jax.lax.broadcasted_iota(jnp.int32, (d, block), 0)
         out = jnp.where(rowid == weight_row,
                         jnp.broadcast_to(logw, (d, block)), out)
-    out_ref[...] = out
+    return out
 
 
 def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
@@ -707,6 +719,87 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
         interpret=interpret,
     )(first, last, base, seed, idx0, simple, *args, c_cols, x_t, c_cols,
       x_t, mx_cols, mx_cols, c_cols, x_t)
+
+
+@partial(jax.jit, static_argnames=("block", "interpret", "weight_family",
+                                   "weight_row"))
+def propagate_weights_t(x_t, coef, seed, block: int = 4096,
+                        interpret: bool = False,
+                        weight_family=None, weight_consts=None,
+                        weight_row: int | None = None):
+    """Standalone fused diagonal affine-Gaussian propagate, transposed:
+
+        ``y_t[:, j] = a * x_t[:, j] + b + s * z_j``,  z ~ N(0, 1)
+
+    with the noise drawn in-kernel (same Box-Muller pipeline as the fused
+    resample kernel, :func:`_propagate_weights_block`) -- one HBM
+    read+write of the cloud with the normal draws and the optional
+    log-weight evaluation riding the VPU in the same pass.  This serves
+    the paths that cannot fuse the propagate into the resample kernel
+    (per-step summaries need the unpropagated resampled cloud;
+    the sharded filter's ring fill produces its output across several
+    kernel launches): the reference's propagate step (Sde.scala:142-150
+    exact transitions) plus optionally the weight step
+    (ParticleFilter.scala:124-127) in one kernel.
+
+    Args mirror :func:`sorted_gather_resample_propagate_t`: ``coef`` is
+    [d, 3] (or [d, 4] with ``weight_family``, whose
+    ``kernel_log_density`` hook then writes the block's log-weights into
+    output row ``weight_row`` -- a padding row the caller reserves).
+    ``seed`` is a [1] int32 per-step seed (fold a step counter in
+    upstream); blocks are decorrelated by the in-kernel block id.
+    NB interpret mode's ``prng_random_bits`` yields zeros, so
+    interpreted runs are only meaningful with s == 0.
+    """
+    d, n = x_t.shape
+    if n % block or block % _LANE:
+        raise ValueError(
+            f"N={n} must be divisible by block={block}, block a multiple "
+            f"of {_LANE}")
+    weighted = weight_family is not None
+    ncol = 4 if weighted else 3
+    if coef.shape != (d, ncol):
+        raise ValueError(f"coef must be [d={d}, {ncol}], got {coef.shape}")
+    coef = coef.astype(x_t.dtype)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    in_specs = [pl.BlockSpec((d, ncol), lambda g, *_: (0, 0))]
+    args = [coef]
+    if weighted:
+        wspec = weight_family.kernel_log_density()
+        if wspec is None:
+            raise ValueError(
+                f"{type(weight_family).__name__} has no kernel_log_density")
+        _, weight_fn = wspec
+        if weight_row is None or not (0 <= weight_row < d):
+            raise ValueError(f"weight_row={weight_row} outside [0, {d})")
+        wc = jnp.asarray(weight_consts, jnp.float32).reshape(-1)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(wc)
+    else:
+        weight_fn = None
+    in_specs.append(pl.BlockSpec((d, block), lambda g, *_: (0, g)))
+
+    def kernel(seed_ref, *rest):
+        if weighted:
+            coef_blk, wconsts, x_blk, out_ref = rest
+        else:
+            (coef_blk, x_blk, out_ref), wconsts = rest, None
+        out_ref[...] = _propagate_weights_block(
+            x_blk[...], coef_blk, wconsts, seed_ref, weight_fn,
+            weight_row or 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // block,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((d, block), lambda g, *_: (0, g)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
+        interpret=interpret,
+    )(seed, *args, x_t)
 
 
 def sorted_gather_resample(x, counts, block: int = 1024,

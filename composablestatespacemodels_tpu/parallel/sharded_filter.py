@@ -501,7 +501,8 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
                     x_init=None, t0=None, store="ll",
                     ess_threshold: Optional[float] = None,
                     interval: float = 0.975,
-                    sync_axes=None, pallas_fill=None):
+                    sync_axes=None, pallas_fill=None,
+                    fused_propagate: bool = False):
     """Transposed-layout sharded filter body (the TPU fast path).
 
     Particles live as [d, local_n] columns for the whole scan (the particle
@@ -509,6 +510,17 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
     resampling uses :func:`distributed_systematic_resample_t` whose local
     fill is the Pallas merge-gather kernel.  Semantics identical to
     :func:`_sharded_scan`.
+
+    With ``fused_propagate`` (``resample='systematic-pallas-fused'`` under
+    ``mesh=``), the per-step propagation runs through
+    :func:`..ops.resample_kernel.propagate_weights_t` -- the exact
+    diagonal affine-Gaussian transition with in-kernel Box-Muller noise
+    and, when the observation family provides ``kernel_log_density``, the
+    local log-weights fused into a padding row (the scalar weight
+    collectives across shards are unchanged).  Statistically (not
+    bitwise) equivalent to the XLA propagate it replaces; the ring fill
+    cannot absorb the propagate itself because each shard's output is
+    assembled across several kernel launches.
     """
     idx = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
@@ -536,6 +548,24 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
     dtype = x_t.dtype
     wn0 = jnp.full((local_n,), 1.0 / n_total, dtype=dtype)
 
+    if fused_propagate:
+        from ..inference.filter import _kernel_block
+        from ..ops.resample_kernel import propagate_weights_t
+        sde = model.sde
+        sp = model.sde_params(params)
+        d_pad = (-d) % 8
+        wspec = model.obs.kernel_log_density()
+        weighted = wspec is not None
+        if weighted:
+            make_consts, _ = wspec
+            obs_scale = model.obs_scale(params)
+            dk = d + (d_pad if d_pad else 8)
+            wrow = dk - 1
+        else:
+            dk = d + d_pad
+            wrow = None
+        kblock = _kernel_block(local_n)
+
     def step(carry, inp):
         x_t, wn, t_prev, ll, ess = carry
         t, y, mask, k = inp
@@ -543,11 +573,34 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
         k_sys = jax.random.fold_in(k, 2)    # shared across shards
         k_save = jax.random.fold_in(k, 3)   # shared across shards
 
-        x1 = model.step_t(params, k_prop, x_t, t - t_prev)
-
         y_safe = jnp.where(mask, y, 0.0)
-        gamma = model.f_t(x1, t)
-        logw = model.log_density(params, gamma, y_safe)
+        if fused_propagate:
+            a, bb, q = sde.transition_coeffs(sp, t - t_prev)
+            cols = [a, bb, jnp.sqrt(q)]
+            consts = None
+            if weighted:
+                cols.append(model.design_vector(t))
+                consts = make_consts(y_safe, obs_scale)
+            coef = jnp.stack(cols, axis=1).astype(dtype)
+            if dk > d:
+                coef = jnp.concatenate(
+                    [coef, jnp.zeros((dk - d, len(cols)), dtype)], axis=0)
+            seed = jax.random.randint(k_prop, (1,), 0, 2**31 - 1, jnp.int32)
+            xp = (jnp.concatenate([x_t, jnp.zeros((dk - d, local_n), dtype)],
+                                  axis=0) if dk > d else x_t)
+            x1p = propagate_weights_t(
+                xp, coef, seed, block=kblock,
+                weight_family=model.obs if weighted else None,
+                weight_consts=consts, weight_row=wrow)
+            x1 = x1p[:d]
+            if weighted:
+                logw = x1p[wrow]
+            else:
+                logw = model.log_density(params, model.f_t(x1, t), y_safe)
+        else:
+            x1 = model.step_t(params, k_prop, x_t, t - t_prev)
+            gamma = model.f_t(x1, t)
+            logw = model.log_density(params, gamma, y_safe)
         logw = jnp.where(mask, logw, 0.0)
 
         maxw = pmax_(jnp.max(logw))
@@ -588,11 +641,12 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
 @partial(jax.jit, static_argnames=("model", "n_particles", "mesh", "axis",
                                    "store", "ess_threshold", "interval",
                                    "resample_comm", "init_is_cloud",
-                                   "transposed", "pallas_fill"))
+                                   "transposed", "pallas_fill",
+                                   "fused_propagate"))
 def _sharded_filter_impl(model, params, data, n_particles, key, x_init, t0,
                          mesh, axis, store, ess_threshold, interval,
                          resample_comm, init_is_cloud, transposed=False,
-                         pallas_fill=None):
+                         pallas_fill=None, fused_propagate=False):
     n_shards = mesh.shape[axis]
     if n_particles % n_shards:
         raise ValueError(
@@ -605,7 +659,8 @@ def _sharded_filter_impl(model, params, data, n_particles, key, x_init, t0,
                                    x_init=xi, t0=t, store=store,
                                    ess_threshold=ess_threshold,
                                    interval=interval,
-                                   pallas_fill=pallas_fill)
+                                   pallas_fill=pallas_fill,
+                                   fused_propagate=fused_propagate)
     else:
         def body(p, d, k, t, xi):
             return _sharded_scan(model, p, d, local_n, k, axis,
@@ -643,7 +698,8 @@ def sharded_bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
                              interval: float = 0.975,
                              resample_comm: str = "distributed",
                              transposed: Optional[bool] = None,
-                             pallas_fill: Optional[bool] = None):
+                             pallas_fill: Optional[bool] = None,
+                             fused_propagate: bool = False):
     """Multi-chip :func:`~..inference.filter.bootstrap_filter`: same API
     surface and semantics, particle axis sharded over ``mesh[axis]``.
 
@@ -656,6 +712,14 @@ def sharded_bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
     auto: TPU backend, 1024-divisible shard size, distributed resampling.
     ``pallas_fill`` force-enables/disables the kernel fill inside the
     transposed path (testing hook; default auto).
+
+    ``fused_propagate``: run the per-step propagation through the
+    standalone fused propagate(+weights) Pallas kernel (in-kernel
+    Box-Muller noise; statistically -- not bitwise -- equivalent to the
+    XLA propagate).  Requires the transposed path, a TPU backend, and a
+    model with exact transitions; the single-device spelling is
+    ``bootstrap_filter(..., resample='systematic-pallas-fused',
+    mesh=...)``.
 
     Returns a :class:`~..inference.filter.FilterResult`; ``final_particles``
     keeps its global sharding.
@@ -672,13 +736,18 @@ def sharded_bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
     if transposed and resample_comm != "distributed":
         raise ValueError("transposed=True requires resample_comm="
                          f"'distributed' (got {resample_comm!r})")
+    if fused_propagate and not transposed:
+        raise ValueError(
+            "fused_propagate=True requires the transposed path (TPU "
+            "backend with a 1024-divisible shard size, or transposed=True)")
     x_init = None if initial_state is None else jnp.asarray(initial_state)
     init_is_cloud = x_init is not None and x_init.ndim == 2
     t0v = data.ts[0] if t0 is None else jnp.asarray(t0, data.ts.dtype)
     ll, ll_hist, ess_hist, xf, saved = _sharded_filter_impl(
         model, params, data, n_particles, key, x_init, t0v, mesh, axis,
         store, ess_threshold, interval, resample_comm, init_is_cloud,
-        transposed=transposed, pallas_fill=pallas_fill)
+        transposed=transposed, pallas_fill=pallas_fill,
+        fused_propagate=fused_propagate)
 
     summary = None
     path = None

@@ -393,9 +393,82 @@ def test_fused_filter_structural(key):
     assert res.final_particles.shape == (1024, 1)
     assert res.ess.shape == data.ts.shape
     assert 1 <= int(jnp.min(res.ess)) <= 1024
-    with pytest.raises(ValueError, match="store='ll'"):
-        bootstrap_filter(model, params, data, 1024, key,
-                         resample="systematic-pallas-fused", store="summary")
+
+
+def test_fused_filter_store_modes_structural(key):
+    """'systematic-pallas-fused' under store='summary'/'path' routes to the
+    transposed scan with the STANDALONE fused propagate(+weights) kernel
+    (the resample kernel cannot absorb the propagate when per-step
+    summaries need the unpropagated cloud).  Interpret mode: structure
+    only; statistics are gated on-chip."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from composablestatespacemodels_tpu import (bootstrap_filter, linear,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 12)
+    data = sim.to_timeseries()
+    with pltpu.force_tpu_interpret_mode():
+        res = bootstrap_filter(model, params, data, 1024, key,
+                               resample="systematic-pallas-fused",
+                               store="summary")
+        res_p = bootstrap_filter(model, params, data, 1024, key,
+                                 resample="systematic-pallas-fused",
+                                 store="path")
+    assert np.isfinite(float(res.ll))
+    assert res.summary is not None
+    assert np.isfinite(np.asarray(res.summary.state_mean)).all()
+    assert np.isfinite(np.asarray(res.summary.eta_lower)).all()
+    assert res_p.sampled_path.shape == (12, 1)
+    assert np.isfinite(np.asarray(res_p.sampled_path)).all()
+
+
+def test_standalone_propagate_kernel(key):
+    """propagate_weights_t: zero-noise affine transition is exact, and the
+    fused weight row matches the XLA log-density of the propagated block."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from composablestatespacemodels_tpu.models.observation import (Gaussian,
+                                                                   Poisson)
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        propagate_weights_t)
+
+    n, d = 4096, 8
+    x = jax.random.normal(key, (d, n)) * 0.3
+    a = jnp.arange(1.0, d + 1) / d
+    b = jnp.linspace(-0.5, 0.5, d)
+    coef = jnp.stack([a, b, jnp.zeros(d)], axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        y = propagate_weights_t(x, coef, jnp.int32([3]), block=1024)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(a[:, None] * x + b[:, None]),
+                               rtol=1e-6, atol=1e-6)
+
+    # weighted: row d-1 reserved, fc zero there so gamma is untouched
+    a = a.at[d - 1].set(0.0)
+    b = b.at[d - 1].set(0.0)
+    fc = jnp.concatenate([jnp.linspace(0.5, 1.5, d - 1), jnp.zeros((1,))])
+    coefw = jnp.stack([a, b, jnp.zeros(d), fc], axis=1)
+    for fam, yobs, scale in [(Poisson(), 3.0, 1.0), (Gaussian(), 0.7, 0.4)]:
+        make_consts, _ = fam.kernel_log_density()
+        consts = make_consts(jnp.asarray(yobs), jnp.asarray(scale))
+        with pltpu.force_tpu_interpret_mode():
+            yw = propagate_weights_t(x, coefw, jnp.int32([3]), block=1024,
+                                     weight_family=fam, weight_consts=consts,
+                                     weight_row=d - 1)
+        prop = np.asarray(a[:, None] * x + b[:, None])
+        gamma = (np.asarray(fc)[:, None] * prop).sum(axis=0)
+        want = np.asarray(fam.log_density(
+            jnp.asarray(gamma), jnp.asarray(yobs), jnp.asarray(scale)))
+        np.testing.assert_allclose(np.asarray(yw[d - 1]), want,
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(yw[:d - 1]), prop[:d - 1],
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_fused_weighted_kernel_matches_xla_weights(key):

@@ -412,6 +412,31 @@ def test_sharded_filter_transposed_summary_and_path(lg_case, key):
     assert np.isfinite(np.asarray(p.sampled_path)).all()
 
 
+def test_sharded_fused_propagate_structural(lg_case, key):
+    """mesh= + resample='systematic-pallas-fused': each shard's per-step
+    propagate runs through the standalone fused propagate(+weights) kernel
+    (interpret mode's in-kernel noise is a deterministic constant, so this
+    checks structure and plumbing; statistics are gated on-chip)."""
+    from composablestatespacemodels_tpu import bootstrap_filter
+
+    model, params, data = lg_case
+    mesh = particle_mesh()
+    n = 8192   # local_n = 1024: the kernel's minimum tile
+    with pltpu.force_tpu_interpret_mode():
+        res = bootstrap_filter(model, params, data, n, key,
+                               resample="systematic-pallas-fused",
+                               store="ll", mesh=mesh, pallas_fill=True)
+    assert np.isfinite(float(res.ll))
+    assert res.ess.shape == data.ts.shape
+    assert 1 <= int(jnp.min(res.ess)) <= n
+    # the explicit kwarg spelling is equivalent
+    with pltpu.force_tpu_interpret_mode():
+        res2 = sharded_bootstrap_filter(
+            model, params, data, n, key, mesh, store="ll", transposed=True,
+            pallas_fill=True, fused_propagate=True)
+    np.testing.assert_allclose(float(res2.ll), float(res.ll), rtol=1e-6)
+
+
 def test_forecast_from_sharded_cloud(lg_case, key):
     """The sharded filter's final cloud feeds the forecasting API directly
     (the arrays keep their device sharding; XLA inserts the collectives)."""

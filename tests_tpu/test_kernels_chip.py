@@ -129,3 +129,56 @@ def test_fused_propagate_noise_moments(key):
     assert abs(z.std() - 1.0) < 5e-3, z.std()
     kurt = ((z - z.mean()) ** 4).mean() / z.var() ** 2
     assert abs(kurt - 3.0) < 0.05, kurt
+
+
+def test_standalone_propagate_affine_and_weights(key):
+    """propagate_weights_t on chip: s=0 is the exact affine transition and
+    the fused weight row matches the XLA log-density of the propagated
+    block (Poisson hook, the flagship family)."""
+    from composablestatespacemodels_tpu.models.observation import Poisson
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        propagate_weights_t)
+
+    n, d = 1 << 14, 8
+    x_t = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (d, n), jnp.float32)
+    a = jnp.concatenate([jnp.linspace(0.5, 1.2, d - 1), jnp.zeros((1,))])
+    b = jnp.concatenate([jnp.linspace(-0.5, 0.5, d - 1), jnp.zeros((1,))])
+    fc = jnp.concatenate([jnp.linspace(0.5, 1.5, d - 1), jnp.zeros((1,))])
+    coef = jnp.stack([a, b, jnp.zeros(d)], axis=1)
+    y = propagate_weights_t(x_t, coef, jnp.int32([7]), block=2048)
+    ref = a[:, None] * x_t + b[:, None]
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    fam = Poisson()
+    make_consts, _ = fam.kernel_log_density()
+    consts = make_consts(jnp.asarray(3.0), jnp.asarray(1.0))
+    coefw = jnp.stack([a, b, jnp.zeros(d), fc], axis=1)
+    yw = propagate_weights_t(x_t, coefw, jnp.int32([7]), block=2048,
+                             weight_family=fam, weight_consts=consts,
+                             weight_row=d - 1)
+    gamma = jnp.sum(fc[:, None] * ref, axis=0)
+    want = fam.log_density(gamma, jnp.asarray(3.0), jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(yw[d - 1]), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(yw[: d - 1]),
+                                  np.asarray(ref[: d - 1]))
+
+
+def test_standalone_propagate_noise_moments(key):
+    """In-kernel Box-Muller of the standalone kernel: a=0, b=0, s=1 leaves
+    pure noise; moments at N=2^17 x d=8, plus seed decorrelation."""
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        propagate_weights_t)
+
+    n, d = 1 << 17, 8
+    x_t = jnp.zeros((d, n), jnp.float32)
+    coef = jnp.stack([jnp.zeros(d), jnp.zeros(d), jnp.ones(d)], axis=1)
+    z = np.asarray(propagate_weights_t(
+        x_t, coef, jnp.int32([321]), block=2048)).ravel()
+    assert abs(z.mean()) < 5e-3, z.mean()
+    assert abs(z.std() - 1.0) < 5e-3, z.std()
+    kurt = ((z - z.mean()) ** 4).mean() / z.var() ** 2
+    assert abs(kurt - 3.0) < 0.05, kurt
+    z2 = np.asarray(propagate_weights_t(
+        x_t, coef, jnp.int32([322]), block=2048)).ravel()
+    assert abs(np.corrcoef(z, z2)[0, 1]) < 5e-3
