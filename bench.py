@@ -196,14 +196,22 @@ def bench_pmmh(n_particles: int = 100, n_obs: int = 400,
     return rate
 
 
-def bench_pmmh_chains(n_chains: int = 64, n_particles: int = 100,
+def bench_pmmh_chains(n_chains: int = 256, n_particles: int = 100,
                       n_obs: int = 400, n_iters: int = 200) -> float:
     """Secondary recorded metric: AGGREGATE chains x iterations/sec of
     vmapped PMMH chains.  One tiny chain (the reference shape) uses ~0.4%
     of the chip; batching independent chains with vmap is how the MCMC
     workload actually exploits the hardware (pmmh_chains,
     inference/pmmh.py; the reference's mapAsync(2) thread parallelism,
-    DetermineParameters.scala:68-69, scaled to the TPU)."""
+    DetermineParameters.scala:68-69, scaled to the TPU).
+
+    Chain-count sweep on chip (100 iters each): 64/128/256/512 =
+    665/693/766/784 aggregate chain-iters/s -- the workload is bound by
+    the T=400 sequential scan's per-step overhead (~3 us/step), not by
+    chain count, so it saturates early; 256 is near the knee.  Do NOT
+    raise past 512: 1024 vmapped chains CRASHED the TPU worker process
+    (UNAVAILABLE, kernel fault) -- it recovered, but the bench must not
+    risk it."""
     from composablestatespacemodels_tpu.models import perturb
 
     model, params = flagship_model()
