@@ -175,9 +175,13 @@ def bench_pmmh(n_particles: int = 100, n_obs: int = 400,
     from composablestatespacemodels_tpu.models import perturb
 
     model, params = flagship_model()
-    key = jax.random.PRNGKey(0)
-    sim = cssm.simulate_regular(model, params, key, n_obs, dt=1.0)
+    sim = cssm.simulate_regular(model, params, jax.random.PRNGKey(0), n_obs,
+                                dt=1.0)
     pf_ll = cssm.make_pf_loglik(model, sim.to_timeseries(), n_particles)
+    # rbg keys, as the headline filter bench: at N=100 the per-step
+    # threefry split/fold_in fixed cost dominates the tiny PF step
+    # (measured 55.6 -> 73.1 iters/s from the key impl alone)
+    key = jax.random.key(0, impl="rbg")
 
     def run(k):
         return cssm.pmmh(k, params, pf_ll, perturb(0.05), n_iters).lls[-1]
@@ -215,9 +219,10 @@ def bench_pmmh_chains(n_chains: int = 256, n_particles: int = 100,
     from composablestatespacemodels_tpu.models import perturb
 
     model, params = flagship_model()
-    key = jax.random.PRNGKey(0)
-    sim = cssm.simulate_regular(model, params, key, n_obs, dt=1.0)
+    sim = cssm.simulate_regular(model, params, jax.random.PRNGKey(0), n_obs,
+                                dt=1.0)
     pf_ll = cssm.make_pf_loglik(model, sim.to_timeseries(), n_particles)
+    key = jax.random.key(0, impl="rbg")   # see bench_pmmh
 
     def run(k):
         return cssm.pmmh_chains(k, params, pf_ll, perturb(0.05), n_iters,
