@@ -146,10 +146,118 @@ def _lgcp_impl(model: Model, params: Tree, grid, n_particles: int, key,
     return LgcpResult(ll, ll_hist, ess, em, elo, ehi, sm, xf)
 
 
+@partial(jax.jit, static_argnames=("model", "n_particles", "precision",
+                                   "interval", "mesh", "axis"))
+def _lgcp_sharded_impl(model: Model, params: Tree, grid, n_particles: int,
+                       key, precision: int, interval: float, mesh, axis):
+    """Particle-sharded flat-grid LGCP scan (``shard_map`` over ``axis``).
+
+    Same per-slot semantics as :func:`_lgcp_impl`; the only cross-shard
+    communication per observation slot is the scalar weight collectives
+    (``pmax``/``psum`` log-sum-exp + ESS), the distributed systematic
+    resampler's ring, and the 32-round bisection selection for the eta
+    order statistics -- no shard ever materialises the global cloud
+    (design: parallel/sharded_filter.py; reference semantics:
+    ParticleFilter.scala:210-226).
+    """
+    import math as _math
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharded_filter import (_kth_smallest_sharded,
+                                           distributed_systematic_resample)
+
+    t_eval, hflag, aflag, oflag, t_obs, zflag, obs_idx = grid
+    n_shards = mesh.shape[axis]
+    if n_particles % n_shards:
+        raise ValueError(
+            f"n_particles={n_particles} not divisible by {n_shards} shards")
+    local_n = n_particles // n_shards
+    h = 10.0 ** (-precision)
+    sp = model.sde_params(params)
+    d = model.dim
+    k_os = _math.floor(n_particles * interval)
+    ks_eta = jnp.asarray(
+        [[n_particles - k_os, min(k_os, n_particles - 1)]], jnp.int32)
+
+    def shard_body(params, grid_arrs, key):
+        t_eval, hflag, aflag, oflag, t_obs, zflag = grid_arrs
+        idx = jax.lax.axis_index(axis)
+        # 1-wide particle axis: scalar collectives are identities (see
+        # _sharded_scan)
+        pmax_ = (lambda v: v) if n_shards == 1 else (
+            lambda v: jax.lax.pmax(v, axis))
+        psum_ = (lambda v: v) if n_shards == 1 else (
+            lambda v: jax.lax.psum(v, axis))
+
+        k_init, k_scan = jax.random.split(key)
+        x0 = model.initial_state(params, jax.random.fold_in(k_init, idx),
+                                 (local_n,))
+        dtype = x0.dtype
+
+        def body(carry, inp):
+            x, hz, ll = carry
+            t_ev, hf, af, of, t_ob, zf, k = inp
+            k_em = jax.random.fold_in(jax.random.fold_in(k, 1), idx)
+            k_res = jax.random.fold_in(k, 2)    # shared across shards
+
+            gamma_k = model.f(x, t_ev)
+            hz1 = hz + jnp.where(hf, jnp.exp(gamma_k) * h, 0.0)
+            x_adv = model.sde.step_euler_maruyama(sp, k_em, x, h)
+            x1 = jnp.where(af, x_adv, x)
+
+            def obs_case(args):
+                x1, hz1, ll = args
+                gamma = model.f(x1, t_ob)
+                logw = jnp.where(zf, 0.0, gamma - hz1)          # :217
+                maxw = pmax_(jnp.max(logw))
+                w = jnp.exp(logw - maxw)
+                total = psum_(jnp.sum(w))
+                ll1 = ll + maxw + jnp.log(total / n_particles)
+                wn = w / total
+                ess = jnp.floor(
+                    1.0 / psum_(jnp.sum(wn * wn))).astype(jnp.int32)
+                x2 = distributed_systematic_resample(x1, w, k_res, axis)
+                eta = jnp.exp(gamma)
+                eta_mean = psum_(jnp.sum(eta)) / n_particles
+                sel = _kth_smallest_sharded(eta[None], ks_eta, axis)
+                s_mean = psum_(jnp.sum(x2, axis=0)) / n_particles
+                out = (ll1, ess, eta_mean, sel[0, 0], sel[0, 1], s_mean)
+                return (x2, jnp.zeros_like(hz1), ll1), out
+
+            def no_obs(args):
+                x1, hz1, ll = args
+                z = jnp.asarray(0.0, dtype)
+                out = (ll, jnp.asarray(0, jnp.int32), z, z, z,
+                       jnp.zeros((d,), dtype))
+                return (x1, hz1, ll), out
+
+            return jax.lax.cond(of, obs_case, no_obs, (x1, hz1, ll))
+
+        keys = jax.random.split(k_scan, t_eval.shape[0])
+        init = (x0, jnp.zeros((local_n,), dtype), jnp.asarray(0.0, dtype))
+        (xf, _, ll), outs = jax.lax.scan(
+            body, init, (t_eval, hflag, aflag, oflag, t_obs, zflag, keys))
+        return ll, outs, xf
+
+    fn = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(axis)),
+        check_vma=False,
+    )
+    ll, outs, xf = fn(params, (t_eval, hflag, aflag, oflag, t_obs, zflag),
+                      key)
+    ll_hist, ess, em, elo, ehi, sm = tuple(o[obs_idx] for o in outs)
+    return LgcpResult(ll, ll_hist, ess, em, elo, ehi, sm, xf)
+
+
 def lgcp_filter(model: Model, params: Tree, data: TimeSeries,
                 n_particles: int, key, *, precision: int = 1,
                 resample: str = "systematic",
-                interval: float = 0.975) -> LgcpResult:
+                interval: float = 0.975, mesh=None,
+                axis: str | None = None) -> LgcpResult:
     """Particle filter for a log-Gaussian Cox process over event times.
 
     ``data.ts`` are the event (or grid) times; weights follow the reference:
@@ -165,9 +273,27 @@ def lgcp_filter(model: Model, params: Tree, data: TimeSeries,
     ``resample='systematic-pallas'`` routes the resampling through the
     merge-gather kernel (large N on TPU; N divisible by 1024) instead of
     the XLA scatter ancestor fill.
+
+    ``mesh=`` shards the particle axis over ``mesh[axis]`` (default axis
+    :data:`~..parallel.mesh.PARTICLE_AXIS`): scalar weight collectives +
+    the distributed systematic resampler + bisection eta order statistics,
+    no global cloud on any shard (the multi-chip tier of
+    :func:`~.filter.bootstrap_filter`, applied to the flat fine-grid
+    scan).  Systematic resampling only, as ``bootstrap_filter(mesh=)``.
     """
     model.validate_params(params)
     grid = _build_fine_grid(np.asarray(data.ts, np.float64), precision)
+    if mesh is not None:
+        if resample != "systematic":
+            raise ValueError(
+                "lgcp_filter(mesh=...) supports resample='systematic' only "
+                f"(got {resample!r}); the sharded path always resamples "
+                "with the distributed systematic scheme")
+        if axis is None:
+            from ..parallel.mesh import PARTICLE_AXIS
+            axis = PARTICLE_AXIS
+        return _lgcp_sharded_impl(model, params, grid, n_particles, key,
+                                  precision, interval, mesh, axis)
     return _lgcp_impl(model, params, grid, n_particles, key, precision,
                       resample, interval)
 

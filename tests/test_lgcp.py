@@ -156,3 +156,42 @@ def test_lgcp_filter_pallas_resample_matches(lgcp_model, key):
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(res_p.final_particles),
                                   np.asarray(res_s.final_particles))
+
+
+def test_lgcp_filter_mesh_matches_single_device(lgcp_model, key):
+    """mesh= LGCP filter agrees with the single-device filter to MC error
+    (different per-shard propagation key streams, same semantics)."""
+    from composablestatespacemodels_tpu.parallel import particle_mesh
+
+    model, params = lgcp_model
+    ts = jnp.asarray([0.0, 0.3, 0.35, 1.9, 2.0, 3.1])
+    data = TimeSeries(ts, jnp.ones_like(ts), jnp.ones(ts.shape, dtype=bool))
+    single = [float(lgcp_filter(model, params, data, 512,
+                                jax.random.fold_in(key, i), precision=1).ll)
+              for i in range(4)]
+    mesh = particle_mesh()
+    res = lgcp_filter(model, params, data, 512, key, precision=1, mesh=mesh)
+    assert np.isfinite(float(res.ll))
+    tol = 6 * max(np.std(single), 0.05)
+    assert abs(float(res.ll) - np.mean(single)) < tol, (res.ll, single)
+    # per-observation invariants
+    n_obs = ts.shape[0]
+    assert res.ess.shape == (n_obs,)
+    assert bool((res.ess >= 1).all()) and bool((res.ess <= 512).all())
+    assert bool((res.eta_lower <= res.eta_upper).all())
+    assert res.final_particles.shape == (512, model.dim)
+    assert np.isfinite(np.asarray(res.state_mean)).all()
+
+
+def test_lgcp_filter_mesh_validates(lgcp_model, key):
+    from composablestatespacemodels_tpu.parallel import particle_mesh
+
+    model, params = lgcp_model
+    ts = jnp.asarray([0.0, 0.5, 1.0])
+    data = TimeSeries(ts, jnp.ones_like(ts), jnp.ones(ts.shape, dtype=bool))
+    mesh = particle_mesh()
+    with pytest.raises(ValueError, match="systematic"):
+        lgcp_filter(model, params, data, 512, key, mesh=mesh,
+                    resample="multinomial")
+    with pytest.raises(ValueError, match="divisible"):
+        lgcp_filter(model, params, data, 100, key, mesh=mesh)
