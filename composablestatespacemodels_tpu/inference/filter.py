@@ -69,6 +69,55 @@ def credible_interval_state(samples, interval: float = 0.975):
     return s[n - idx - 1], s[idx - 1]
 
 
+def _interval_levels(n: int, interval: float):
+    """Weighted-CDF levels equivalent to the unweighted order-statistic
+    indices of :func:`credible_interval_state` / :func:`credible_interval_eta`.
+
+    For uniform weights, "smallest x with weighted CDF >= (j+1)/n" is
+    ``sorted[j]``, so these levels reproduce the reference's indices
+    (ParticleFilter.scala:455-460, 488-502) exactly -- including the
+    index wrap mod n that the transposed path mirrors for edge intervals.
+    Returns ``(state_levels, eta_levels)``, each a 2-tuple (lower, upper).
+    """
+    idx = math.floor(n * interval)
+    j_s = ((n - idx - 1) % n, (idx - 1) % n)        # state flavour
+    j_e = ((n - idx) % n, min(idx, n - 1))          # eta flavour
+    return (tuple((j + 1) / n for j in j_s),
+            tuple((j + 1) / n for j in j_e))
+
+
+def _weighted_quantile_sorted(cols, wn, ps):
+    """Sort-based weighted quantiles, any dtype: per row c of ``cols``
+    [c, n], the smallest value with weighted CDF >= ps[c][q] (the XLA
+    fallback twin of :func:`..ops.selection.weighted_quantile_bits`).
+
+    Used by the ``ess_threshold`` summary paths where skipped resamples
+    leave carried weights non-uniform (the reference always resamples,
+    ParticleFilter.scala:129, so it has no weighted flavour to mirror).
+    """
+    order = jnp.argsort(cols, axis=1)
+    s = jnp.take_along_axis(cols, order, axis=1)
+    w = jnp.take_along_axis(
+        jnp.broadcast_to(wn[None, :].astype(cols.dtype), cols.shape),
+        order, axis=1)
+    cum = jnp.cumsum(w, axis=1)                      # [c, n] inclusive CDF
+    total = cum[:, -1]                               # [c]
+    th = jnp.asarray(ps, cols.dtype) * total[:, None]          # [c, q]
+    i = jnp.sum((cum[:, :, None] < th[:, None, :]), axis=1)    # [c, q]
+    i = jnp.clip(i, 0, cols.shape[1] - 1)
+    return jnp.take_along_axis(s, i, axis=1)         # [c, q]
+
+
+def _weighted_pick(x, wn, key):
+    """One particle sampled with probability proportional to ``wn``
+    (inverse-CDF on a single uniform): the weighted generalisation of the
+    reference's uniform ``sampleOne`` used by ``store='path'`` when
+    ``ess_threshold`` leaves carried weights non-uniform."""
+    u = jax.random.uniform(key, (), wn.dtype) * jnp.sum(wn)
+    j = jnp.clip(jnp.searchsorted(jnp.cumsum(wn), u), 0, wn.shape[0] - 1)
+    return j
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class PfSummary:
@@ -146,41 +195,121 @@ def _kernel_block(n: int) -> int:
     return 1024
 
 
-def _make_save_fn(model: Model, store, interval: float):
+def _seed_base(key):
+    """Per-invocation int32 base for the in-kernel Mosaic PRNG streams.
+
+    The fused kernels draw their propagation noise from the Mosaic PRNG,
+    which takes a 32-bit seed.  Sampling a fresh ``randint`` seed per scan
+    step risks a birthday collision between two steps (~T^2/2^32 -- a
+    silently repeated noise stream); instead each filter invocation draws
+    ONE random base and derives the per-step seed deterministically with
+    :func:`_step_seed`, so seeds within a scan are distinct by
+    construction and the fused path is bit-reproducible given (key, step).
+    """
+    return jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (1,), jnp.uint32), jnp.int32)
+
+
+def _step_seed(base, step):
+    """Distinct int32 kernel seed per scan step.
+
+    ``base ^ (step * odd)`` with a fixed odd multiplier (the int32 golden
+    ratio 0x9E3779B9): multiplication by an odd constant is a bijection
+    mod 2^32, so for a fixed base every step gets a distinct seed --
+    no within-scan collisions, unlike per-step sampled seeds.
+    """
+    return base ^ (step * jnp.int32(-1640531527))
+
+
+def _make_save_fn(model: Model, store, interval: float,
+                  weighted: bool = False):
+    """Save functions take ``(t, particles, wn, key)``; ``wn`` are the
+    carried normalised weights after the step.  With ``weighted`` (set iff
+    an ``ess_threshold`` can skip resamples, leaving ``wn`` non-uniform),
+    summaries/paths are weight-aware; otherwise ``wn`` is uniform at every
+    save point and the unweighted reference semantics apply bit-for-bit
+    (ParticleFilter.scala:415-424)."""
     if store == "ll" or store is None:
-        return lambda t, particles, key: ()
+        return lambda t, particles, wn, key: ()
     if store == "path":
-        # one uniformly sampled particle per step (reference filter(),
-        # ParticleFilter.scala:152-158 + Resampling.sampleOne)
-        def save(t, particles, key):
-            i = jax.random.randint(key, (), 0, particles.shape[0])
-            return particles[i]
+        if weighted:
+            def save(t, particles, wn, key):
+                return particles[_weighted_pick(particles, wn, key)]
+        else:
+            # one uniformly sampled particle per step (reference filter(),
+            # ParticleFilter.scala:152-158 + Resampling.sampleOne)
+            def save(t, particles, wn, key):
+                i = jax.random.randint(key, (), 0, particles.shape[0])
+                return particles[i]
         return save
     if store == "summary":
-        def save(t, particles, key):
-            mean = jnp.mean(particles, axis=0)
-            s_lo, s_hi = credible_interval_state(particles, interval)
-            etas = model.link(model.f(particles, t))
-            eta_mean = model.link(model.f(mean, t))
-            e_lo, e_hi = credible_interval_eta(etas, interval)
-            return (eta_mean, e_lo, e_hi, mean, s_lo, s_hi)
+        if weighted:
+            def save(t, particles, wn, key):
+                n, d = particles.shape
+                mean = jnp.sum(wn[:, None] * particles, axis=0) / jnp.sum(wn)
+                etas = model.link(model.f(particles, t))
+                eta_mean = model.link(model.f(mean, t))
+                ps_s, ps_e = _interval_levels(n, interval)
+                cols = jnp.concatenate(
+                    [particles.T, etas[None].astype(particles.dtype)], axis=0)
+                sel = _weighted_quantile_sorted(
+                    cols, wn, [list(ps_s)] * d + [list(ps_e)])   # [d+1, 2]
+                return (eta_mean, sel[d, 0], sel[d, 1],
+                        mean, sel[:d, 0], sel[:d, 1])
+        else:
+            def save(t, particles, wn, key):
+                mean = jnp.mean(particles, axis=0)
+                s_lo, s_hi = credible_interval_state(particles, interval)
+                etas = model.link(model.f(particles, t))
+                eta_mean = model.link(model.f(mean, t))
+                e_lo, e_hi = credible_interval_eta(etas, interval)
+                return (eta_mean, e_lo, e_hi, mean, s_lo, s_hi)
         return save
     if callable(store):
-        return store
+        # documented custom contract stays (t, particles, key); the cloud
+        # is post-step, weights available only to the built-in modes
+        return lambda t, particles, wn, key: store(t, particles, key)
     raise ValueError(f"unknown store mode {store!r}")
 
 
-def _make_save_fn_t(model: Model, store, interval: float):
-    """Save functions for the transposed [d, N] particle layout."""
+def _make_save_fn_t(model: Model, store, interval: float,
+                    weighted: bool = False):
+    """Save functions for the transposed [d, N] particle layout (same
+    ``(t, x_t, wn, key)`` signature and ``weighted`` semantics as
+    :func:`_make_save_fn`)."""
     if store == "ll" or store is None:
-        return lambda t, x_t, key: ()
+        return lambda t, x_t, wn, key: ()
     if store == "path":
-        def save(t, x_t, key):
-            i = jax.random.randint(key, (), 0, x_t.shape[1])
-            return x_t[:, i]
+        if weighted:
+            def save(t, x_t, wn, key):
+                return x_t[:, _weighted_pick(x_t, wn, key)]
+        else:
+            def save(t, x_t, wn, key):
+                i = jax.random.randint(key, (), 0, x_t.shape[1])
+                return x_t[:, i]
         return save
     if store == "summary":
-        def save(t, x_t, key):
+        if weighted:
+            def save(t, x_t, wn, key):
+                d, n = x_t.shape
+                mean = jnp.sum(wn[None, :] * x_t, axis=1) / jnp.sum(wn)
+                etas = model.link(model.f_t(x_t, t))
+                eta_mean = model.link(model.f(mean, t))
+                ps_s, ps_e = _interval_levels(n, interval)
+                cols = jnp.concatenate(
+                    [x_t, etas[None].astype(x_t.dtype)], axis=0)
+                ps = [list(ps_s)] * d + [list(ps_e)]
+                if x_t.dtype == jnp.float32:
+                    from ..ops.selection import weighted_quantile_bits
+                    sel = weighted_quantile_bits(
+                        cols, wn, jnp.asarray(ps, jnp.float32))
+                else:
+                    sel = _weighted_quantile_sorted(cols, wn, ps)
+                return (eta_mean, sel[d, 0], sel[d, 1],
+                        mean, sel[:d, 0], sel[:d, 1])
+            return save
+
+        def save(t, x_t, wn, key):
             n = x_t.shape[1]
             k = math.floor(n * interval)
             mean = jnp.mean(x_t, axis=1)
@@ -211,7 +340,7 @@ def _make_save_fn_t(model: Model, store, interval: float):
     if callable(store):
         # preserve the documented (t, particles [N, d], key) contract: the
         # transposed scan would otherwise hand the callable [d, N] columns
-        return lambda t, x_t, key: store(t, x_t.T, key)
+        return lambda t, x_t, wn, key: store(t, x_t.T, key)
     raise ValueError(f"unknown store mode {store!r}")
 
 
@@ -237,7 +366,8 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
                                        sorted_gather_resample_t,
                                        systematic_counts)
 
-    save_fn = _make_save_fn_t(model, store, interval)
+    save_fn = _make_save_fn_t(model, store, interval,
+                              weighted=ess_threshold is not None)
 
     k_init, k_scan = jax.random.split(key)
     d = model.dim
@@ -266,10 +396,13 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
         else:
             dk = d + d_pad
             wrow = None
+        # one random base per invocation; per-step seeds derived from the
+        # step index (distinct within the scan -- see _step_seed)
+        seed_base = _seed_base(jax.random.fold_in(key, 0x5eed))
 
     def step(carry, inp):
         x_t, wn, t_prev, ll, ess = carry
-        t, y, mask, k = inp
+        t, y, mask, k, si = inp
         k_prop, k_res, k_save = jax.random.split(k, 3)
 
         y_safe = jnp.where(mask, y, 0.0)
@@ -284,7 +417,7 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
             if dk > d:
                 coef = jnp.concatenate(
                     [coef, jnp.zeros((dk - d, len(cols)), dtype)], axis=0)
-            seed = jax.random.randint(k_prop, (1,), 0, 2**31 - 1, jnp.int32)
+            seed = _step_seed(seed_base, si)
             xp = (jnp.concatenate([x_t, jnp.zeros((dk - d, n), dtype)],
                                   axis=0) if dk > d else x_t)
             x1p = propagate_weights_t(
@@ -329,16 +462,18 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
 
         x2, wn2 = jax.lax.cond(do_resample, yes, lambda a: a, (x1, wn1))
         ll1 = ll + ll_inc
-        out = (save_fn(t, x2, k_save), ll1, ess1)
+        out = (save_fn(t, x2, wn2, k_save), ll1, ess1)
         return (x2, wn2, t, ll1, ess1), out
 
     t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
-    keys = jax.random.split(k_scan, data.ts.shape[0])
+    n_steps = data.ts.shape[0]
+    keys = jax.random.split(k_scan, n_steps)
+    steps = jnp.arange(n_steps, dtype=jnp.int32)
     wn0 = jnp.full((n,), 1.0 / n, dtype=dtype)
     init = (x_t, wn0, t_start, jnp.asarray(0.0, dtype),
             jnp.asarray(n, jnp.int32))
     (xf_t, _, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
-        step, init, (data.ts, data.ys, data.mask, keys))
+        step, init, (data.ts, data.ys, data.mask, keys, steps))
 
     summary = None
     path = None
@@ -437,9 +572,13 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
             [x_t, jnp.zeros((dk - d, n), dtype)], axis=0
         ).at[wrow].set(logw0)
 
+    # one random base per invocation; per-step seeds derived from the step
+    # index (distinct within the scan -- see _step_seed)
+    seed_base = _seed_base(jax.random.fold_in(key, 0x5eed))
+
     def step(carry, inp):
         x_t, wn, ll, ess = carry
-        t, y, mask, dtn, tn, yn, mn, k = inp
+        t, y, mask, dtn, tn, yn, mn, k, si = inp
         k_res, k_prop, k_seed = jax.random.split(k, 3)
 
         if weighted:
@@ -471,7 +610,7 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
         if dk > d:
             coef = jnp.concatenate(
                 [coef, jnp.zeros((dk - d, len(cols)), dtype)], axis=0)
-        seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, jnp.int32)
+        seed = _step_seed(seed_base, si)
 
         def yes(args):
             xp, wp = args
@@ -503,11 +642,13 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
         return (x2, wn2, ll1, ess1), (ll1, ess1)
 
     keys = jax.random.split(k_scan, ts.shape[0])
+    steps = jnp.arange(ts.shape[0], dtype=jnp.int32)
     wn0 = jnp.full((n,), 1.0 / n, dtype=dtype)
     init = (x_t, wn0, jnp.asarray(0.0, dtype), jnp.asarray(n, jnp.int32))
     (xf_t, _, ll, _), (ll_hist, ess_hist) = jax.lax.scan(
         step, init,
-        (ts, data.ys, data.mask, dt_next, t_next, y_next, m_next, keys))
+        (ts, data.ys, data.mask, dt_next, t_next, y_next, m_next, keys,
+         steps))
     return FilterResult(ll, ll_hist, ess_hist, xf_t[:d].T, None, None)
 
 
@@ -532,7 +673,8 @@ def _filter_impl(model: Model, params: Tree, data: TimeSeries,
                               x_init, store, ess_threshold, interval,
                               fused_propagate=True)
     resample_fn = rs.get_scheme(resample)
-    save_fn = _make_save_fn(model, store, interval)
+    save_fn = _make_save_fn(model, store, interval,
+                            weighted=ess_threshold is not None)
 
     k_init, k_scan = jax.random.split(key)
     if x_init is None:
@@ -593,7 +735,7 @@ def _filter_impl(model: Model, params: Tree, data: TimeSeries,
         x2, wn2 = jax.lax.cond(do_resample, yes, no, (x1, wn1))
 
         ll1 = ll + ll_inc
-        out = (save_fn(t, x2, k_save), ll1, ess1)
+        out = (save_fn(t, x2, wn2, k_save), ll1, ess1)
         return (x2, wn2, t, ll1, ess1), out
 
     t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)

@@ -329,25 +329,82 @@ def _kth_smallest_sharded(vals, ks, axis: str):
 # ---------------------------------------------------------------------------
 
 
+def _sharded_weighted_pick(wn, k, axis: str, local_n: int, n_total: int):
+    """Global index of one particle sampled proportional to the sharded
+    weights ``wn`` (inverse-CDF on a shared uniform, no gather): the
+    count of global-CDF entries below the target is the psum of local
+    counts against shard-offset local CDFs."""
+    idx = jax.lax.axis_index(axis)
+    n_shards = jax.lax.axis_size(axis)
+    local_sum = jnp.sum(wn)
+    s_all = jax.lax.all_gather(local_sum, axis)                  # [n_shards]
+    offset = jnp.sum(jnp.where(jnp.arange(n_shards) < idx, s_all, 0.0))
+    total = jnp.sum(s_all)
+    u = jax.random.uniform(k, (), wn.dtype) * total              # shared key
+    cnt = jnp.sum((offset + jnp.cumsum(wn)) < u).astype(jnp.int32)
+    j = jax.lax.psum(cnt, axis)
+    return jnp.clip(j, 0, n_total - 1)
+
+
+def _sharded_weighted_summary(model, cols, wn, mean, t, interval: float,
+                              n_total: int, axis: str):
+    """Weighted summary tuple on sharded [d+1, local_n] columns (state rows
+    + eta row): weighted global quantiles via the bisection selector with
+    psummed masses.  float32 (the selector's domain)."""
+    from ..inference.filter import _interval_levels
+    from ..ops.selection import weighted_quantile_bits
+
+    d = cols.shape[0] - 1
+    eta_mean = model.link(model.f(mean, t))
+    ps_s, ps_e = _interval_levels(n_total, interval)
+    ps = jnp.asarray([list(ps_s)] * d + [list(ps_e)], jnp.float32)
+    sel = weighted_quantile_bits(cols.astype(jnp.float32),
+                                 wn.astype(jnp.float32), ps,
+                                 psum=lambda m: jax.lax.psum(m, axis))
+    return (eta_mean, sel[d, 0], sel[d, 1], mean, sel[:d, 0], sel[:d, 1])
+
+
 def _make_save_fn_sharded(model: Model, store, interval: float,
-                          local_n: int, n_total: int, axis: str):
+                          local_n: int, n_total: int, axis: str,
+                          weighted: bool = False):
     """Per-step save functions on the sharded cloud; keys are shared across
     shards.  Mirrors filter._make_save_fn semantics exactly (PfOut,
-    ParticleFilter.scala:53-59 + getIntervals :415-424)."""
+    ParticleFilter.scala:53-59 + getIntervals :415-424), including the
+    ``weighted`` flavour used when ``ess_threshold`` leaves the carried
+    weights non-uniform at save points."""
     if store == "ll" or store is None:
-        return lambda t, x, k: ()
+        return lambda t, x, wn, k: ()
     if store == "path":
-        def save(t, x, k):
-            idx = jax.lax.axis_index(axis)
-            j = jax.random.randint(k, (), 0, n_total)
-            mine = (j // local_n) == idx
-            v = jnp.where(mine, x[j % local_n], jnp.zeros_like(x[0]))
-            return jax.lax.psum(v, axis)
+        if weighted:
+            def save(t, x, wn, k):
+                idx = jax.lax.axis_index(axis)
+                j = _sharded_weighted_pick(wn, k, axis, local_n, n_total)
+                mine = (j // local_n) == idx
+                v = jnp.where(mine, x[j % local_n], jnp.zeros_like(x[0]))
+                return jax.lax.psum(v, axis)
+        else:
+            def save(t, x, wn, k):
+                idx = jax.lax.axis_index(axis)
+                j = jax.random.randint(k, (), 0, n_total)
+                mine = (j // local_n) == idx
+                v = jnp.where(mine, x[j % local_n], jnp.zeros_like(x[0]))
+                return jax.lax.psum(v, axis)
         return save
     if store == "summary":
         k_os = math.floor(n_total * interval)
 
-        def save(t, x, k):
+        if weighted:
+            def save(t, x, wn, k):
+                wsum = jax.lax.psum(jnp.sum(wn), axis)
+                mean = jax.lax.psum(
+                    jnp.sum(wn[:, None] * x, axis=0), axis) / wsum
+                etas = model.link(model.f(x, t))
+                cols = jnp.concatenate([x.T, etas[None]], axis=0)
+                return _sharded_weighted_summary(
+                    model, cols, wn, mean, t, interval, n_total, axis)
+            return save
+
+        def save(t, x, wn, k):
             mean = jax.lax.psum(jnp.sum(x, axis=0), axis) / n_total
             eta_mean = model.link(model.f(mean, t))
             etas = model.link(model.f(x, t))                     # [local_n]
@@ -361,7 +418,7 @@ def _make_save_fn_sharded(model: Model, store, interval: float,
                     mean, sel[:d, 0], sel[:d, 1])
         return save
     if callable(store):
-        return store
+        return lambda t, x, wn, k: store(t, x, k)
     raise ValueError(f"unknown store mode {store!r}")
 
 
@@ -389,7 +446,8 @@ def _sharded_scan(model: Model, params: Tree, data: TimeSeries,
     psum_ = (lambda v: v) if n_shards == 1 else (
         lambda v: jax.lax.psum(v, axis))
     save_fn = _make_save_fn_sharded(model, store, interval, local_n,
-                                    n_total, axis)
+                                    n_total, axis,
+                                    weighted=ess_threshold is not None)
 
     k_init, k_scan = jax.random.split(key)
     if x_init is None:
@@ -445,7 +503,7 @@ def _sharded_scan(model: Model, params: Tree, data: TimeSeries,
 
         x2, wn2 = jax.lax.cond(do_resample, yes, lambda a: a, (x1, wn1))
         ll1 = ll + ll_inc
-        out = (save_fn(t, x2, k_save), ll1, ess1)
+        out = (save_fn(t, x2, wn2, k_save), ll1, ess1)
         return (x2, wn2, t, ll1, ess1), out
 
     keys = jax.random.split(k_scan, data.ts.shape[0])
@@ -458,23 +516,45 @@ def _sharded_scan(model: Model, params: Tree, data: TimeSeries,
 
 
 def _make_save_fn_sharded_t(model: Model, store, interval: float,
-                            local_n: int, n_total: int, axis: str):
+                            local_n: int, n_total: int, axis: str,
+                            weighted: bool = False):
     """Save functions on the transposed [d, local_n] sharded cloud."""
     if store == "ll" or store is None:
-        return lambda t, x_t, k: ()
+        return lambda t, x_t, wn, k: ()
     if store == "path":
-        def save(t, x_t, k):
-            idx = jax.lax.axis_index(axis)
-            j = jax.random.randint(k, (), 0, n_total)
-            mine = (j // local_n) == idx
-            v = jnp.where(mine, x_t[:, j % local_n],
-                          jnp.zeros_like(x_t[:, 0]))
-            return jax.lax.psum(v, axis)
+        if weighted:
+            def save(t, x_t, wn, k):
+                idx = jax.lax.axis_index(axis)
+                j = _sharded_weighted_pick(wn, k, axis, local_n, n_total)
+                mine = (j // local_n) == idx
+                v = jnp.where(mine, x_t[:, j % local_n],
+                              jnp.zeros_like(x_t[:, 0]))
+                return jax.lax.psum(v, axis)
+        else:
+            def save(t, x_t, wn, k):
+                idx = jax.lax.axis_index(axis)
+                j = jax.random.randint(k, (), 0, n_total)
+                mine = (j // local_n) == idx
+                v = jnp.where(mine, x_t[:, j % local_n],
+                              jnp.zeros_like(x_t[:, 0]))
+                return jax.lax.psum(v, axis)
         return save
     if store == "summary":
         k_os = math.floor(n_total * interval)
 
-        def save(t, x_t, k):
+        if weighted:
+            def save(t, x_t, wn, k):
+                wsum = jax.lax.psum(jnp.sum(wn), axis)
+                mean = jax.lax.psum(
+                    jnp.sum(wn[None, :] * x_t, axis=1), axis) / wsum
+                etas = model.link(model.f_t(x_t, t))
+                cols = jnp.concatenate(
+                    [x_t, etas[None].astype(x_t.dtype)], axis=0)
+                return _sharded_weighted_summary(
+                    model, cols, wn, mean, t, interval, n_total, axis)
+            return save
+
+        def save(t, x_t, wn, k):
             d = x_t.shape[0]
             mean = jax.lax.psum(jnp.sum(x_t, axis=1), axis) / n_total
             eta_mean = model.link(model.f(mean, t))
@@ -492,7 +572,7 @@ def _make_save_fn_sharded_t(model: Model, store, interval: float,
         # across flat/transposed paths (the transposed scan holds [d, local_n]
         # columns; transposed auto-enables on TPU, so a callable must not see
         # a backend-dependent layout)
-        return lambda t, x_t, k: store(t, x_t.T, k)
+        return lambda t, x_t, wn, k: store(t, x_t.T, k)
     raise ValueError(f"unknown store mode {store!r}")
 
 
@@ -532,7 +612,8 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
     psum_ = (lambda v: v) if n_shards == 1 else (
         lambda v: jax.lax.psum(v, axis))
     save_fn = _make_save_fn_sharded_t(model, store, interval, local_n,
-                                      n_total, axis)
+                                      n_total, axis,
+                                      weighted=ess_threshold is not None)
 
     k_init, k_scan = jax.random.split(key)
     d = model.dim
@@ -565,10 +646,17 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
             dk = d + d_pad
             wrow = None
         kblock = _kernel_block(local_n)
+        # one random base per (invocation, shard); per-step seeds derived
+        # from the step index (distinct within the scan, see
+        # filter._step_seed -- sampled per-step seeds risk birthday
+        # collisions between steps)
+        from ..inference.filter import _seed_base, _step_seed
+        seed_base = _seed_base(
+            jax.random.fold_in(jax.random.fold_in(key, 0x5eed), idx))
 
     def step(carry, inp):
         x_t, wn, t_prev, ll, ess = carry
-        t, y, mask, k = inp
+        t, y, mask, k, si = inp
         k_prop = jax.random.fold_in(jax.random.fold_in(k, 1), idx)
         k_sys = jax.random.fold_in(k, 2)    # shared across shards
         k_save = jax.random.fold_in(k, 3)   # shared across shards
@@ -585,7 +673,7 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
             if dk > d:
                 coef = jnp.concatenate(
                     [coef, jnp.zeros((dk - d, len(cols)), dtype)], axis=0)
-            seed = jax.random.randint(k_prop, (1,), 0, 2**31 - 1, jnp.int32)
+            seed = _step_seed(seed_base, si)
             xp = (jnp.concatenate([x_t, jnp.zeros((dk - d, local_n), dtype)],
                                   axis=0) if dk > d else x_t)
             x1p = propagate_weights_t(
@@ -626,15 +714,16 @@ def _sharded_scan_t(model: Model, params: Tree, data: TimeSeries,
 
         x2, wn2 = jax.lax.cond(do_resample, yes, lambda a: a, (x1, wn1))
         ll1 = ll + ll_inc
-        out = (save_fn(t, x2, k_save), ll1, ess1)
+        out = (save_fn(t, x2, wn2, k_save), ll1, ess1)
         return (x2, wn2, t, ll1, ess1), out
 
     keys = jax.random.split(k_scan, data.ts.shape[0])
+    steps = jnp.arange(data.ts.shape[0], dtype=jnp.int32)
     t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
     init = (x_t, wn0, t_start, jnp.asarray(0.0, dtype),
             jnp.asarray(n_total, jnp.int32))
     (xf_t, _, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
-        step, init, (data.ts, data.ys, data.mask, keys))
+        step, init, (data.ts, data.ys, data.mask, keys, steps))
     return ll, ll_hist, ess_hist, xf_t.T, saved
 
 

