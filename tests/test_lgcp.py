@@ -60,6 +60,13 @@ def test_lgcp_filter_runs(lgcp_model, key):
     assert bool((res.ess >= 1).all())
     assert res.eta_mean.shape == (len(events),)
     assert bool((res.eta_mean > 0).all())
+    # state credible intervals (getIntervals, ParticleFilter.scala:415-424)
+    t, d = len(events), model.dim
+    assert res.state_lower.shape == (t, d)
+    assert res.state_upper.shape == (t, d)
+    assert bool((res.state_lower <= res.state_upper).all())
+    assert bool((res.state_lower <= res.state_mean).all())
+    assert bool((res.state_mean <= res.state_upper).all())
 
 
 def test_lgcp_filter_discriminates_parameters(key):
@@ -181,6 +188,31 @@ def test_lgcp_filter_mesh_matches_single_device(lgcp_model, key):
     assert bool((res.eta_lower <= res.eta_upper).all())
     assert res.final_particles.shape == (512, model.dim)
     assert np.isfinite(np.asarray(res.state_mean)).all()
+    assert res.state_lower.shape == (n_obs, model.dim)
+    assert bool((res.state_lower <= res.state_upper).all())
+
+
+def test_lgcp_filter_one_shard_mesh(lgcp_model, key):
+    """A 1-wide particle mesh exercises the n_shards==1 specialization
+    (identity scalar collectives, local bisection selector, local
+    resampler shortcut) and must agree with single-device runs to MC
+    error."""
+    from jax.sharding import Mesh
+
+    from composablestatespacemodels_tpu.parallel.mesh import PARTICLE_AXIS
+
+    model, params = lgcp_model
+    ts = jnp.asarray([0.0, 0.3, 0.35, 1.9, 2.0, 3.1])
+    data = TimeSeries(ts, jnp.ones_like(ts), jnp.ones(ts.shape, dtype=bool))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), (PARTICLE_AXIS,))
+    res = lgcp_filter(model, params, data, 512, key, precision=1, mesh=mesh)
+    single = [float(lgcp_filter(model, params, data, 512,
+                                jax.random.fold_in(key, i), precision=1).ll)
+              for i in range(4)]
+    tol = 6 * max(np.std(single), 0.05)
+    assert abs(float(res.ll) - np.mean(single)) < tol, (res.ll, single)
+    assert bool((res.state_lower <= res.state_upper).all())
+    assert bool((res.eta_lower <= res.eta_upper).all())
 
 
 def test_lgcp_filter_mesh_validates(lgcp_model, key):
