@@ -8,8 +8,9 @@ from .io import (metrop_state_from_json, metrop_state_to_json,
                  read_timeseries_csv, read_timeseries_json,
                  state_space_from_json, state_space_to_json,
                  write_params_json, write_pf_states_json,
-                 write_posterior_json, write_timeseries_csv,
-                 write_timeseries_json)
+                 read_timestamped_json, write_posterior_json,
+                 write_timeseries_csv, write_timeseries_json,
+                 write_timestamped_json)
 from .streaming import (OnlineFilter, ascii_histogram, min_sink,
                         monitor_stream, pmmh_monitored,
                         windowed_mean_params)
@@ -19,7 +20,8 @@ __all__ = [
     "TimeSeries", "SimulatedData", "simulate", "simulate_regular",
     "simulate_sde_grid", "simulate_lgcp",
     "read_timeseries_csv", "write_timeseries_csv", "read_timeseries_json",
-    "write_timeseries_json", "read_params_json", "write_params_json",
+    "write_timeseries_json", "read_timestamped_json",
+    "write_timestamped_json", "read_params_json", "write_params_json",
     "read_posterior_json", "write_posterior_json",
     "pf_state_to_json", "pf_state_from_json", "write_pf_states_json",
     "read_pf_states_json", "state_space_to_json", "state_space_from_json",

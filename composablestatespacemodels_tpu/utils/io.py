@@ -115,6 +115,46 @@ def read_timeseries_json(path: str) -> TimeSeries:
     return TimeSeries.from_arrays(np.asarray(ts), ys)
 
 
+def write_timestamped_json(path: str, data: TimeSeries, epoch,
+                           unit: str = "h") -> None:
+    """Line-delimited ``{"timestamp": ISO-8601, "observation": ...|null}``.
+
+    The wall-clock flavour of :func:`write_timeseries_json`: the reference
+    round-trips ``TimestampObservation`` records with ISO DateTime stamps
+    (jsonFormats.scala:106-118, Data.scala:45); here the continuous time
+    axis maps back to stamps through ``(epoch, unit)`` (see
+    :func:`..utils.data.timestamps_of`).
+    """
+    from .data import timestamps_of
+
+    stamps = timestamps_of(data.ts, epoch, unit)
+    ys = np.asarray(data.ys)
+    mask = np.asarray(data.mask)
+    with open(path, "w") as f:
+        for s, y, m in zip(stamps, ys, mask):
+            f.write(json.dumps({
+                "timestamp": np.datetime_as_string(s),
+                "observation": float(y) if m else None}) + "\n")
+
+
+def read_timestamped_json(path: str, unit: str = "h", epoch=None):
+    """Read ISO-timestamped observations; returns ``(TimeSeries, epoch)``
+    (inverse of :func:`write_timestamped_json`; reference
+    timestampObservationFormat, jsonFormats.scala:106-118)."""
+    from .data import timeseries_from_timestamps
+
+    stamps, ys = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            stamps.append(rec["timestamp"])
+            ys.append(rec.get("observation"))
+    return timeseries_from_timestamps(stamps, ys, unit=unit, epoch=epoch)
+
+
 def write_simulated_csv(path: str, sim: SimulatedData) -> None:
     """Rows ``t,y,eta,gamma,x_0,...,x_{d-1}`` (the reference Show[Data]
     layout, CsvFormat.scala:18-27)."""

@@ -214,6 +214,35 @@ def test_timestamp_roundtrip():
     assert (back == stamps).all()
 
 
+def test_timestamped_json_roundtrip(tmp_path):
+    """ISO-timestamped observation records round-trip exactly (the
+    reference's TimestampObservation codec, jsonFormats.scala:106-118)."""
+    from composablestatespacemodels_tpu.utils.data import (
+        timeseries_from_timestamps, timestamps_of)
+    from composablestatespacemodels_tpu.utils.io import (
+        read_timestamped_json, write_timestamped_json)
+
+    stamps = np.asarray(["2024-01-01T00:00", "2024-01-01T06:30",
+                         "2024-01-02T00:00", "2024-01-03T12:00"],
+                        dtype="datetime64[ns]")
+    data, epoch = timeseries_from_timestamps(
+        stamps, [1.0, None, 3.5, -2.0], unit="h")
+    path = str(tmp_path / "stamped.json")
+    write_timestamped_json(path, data, epoch, unit="h")
+    back, epoch2 = read_timestamped_json(path, unit="h", epoch=epoch)
+    np.testing.assert_allclose(np.asarray(back.ts), np.asarray(data.ts))
+    np.testing.assert_array_equal(np.asarray(back.mask),
+                                  np.asarray(data.mask))
+    np.testing.assert_allclose(np.asarray(back.ys), np.asarray(data.ys))
+    assert epoch2 == epoch
+    # the written stamps are the exact wall-clock instants
+    assert (timestamps_of(back.ts, epoch2, unit="h") == stamps).all()
+    # default epoch (first record) also reconstructs a consistent axis
+    back3, epoch3 = read_timestamped_json(path, unit="h")
+    assert epoch3 == stamps[0]
+    np.testing.assert_allclose(np.asarray(back3.ts), np.asarray(data.ts))
+
+
 def test_time_fn_and_benchmark_filter(key):
     import jax.numpy as jnp
 
