@@ -922,7 +922,7 @@ def forecast_from_posterior(model: Model, stacked_params, key, t0, ts,
                             interval: float = 0.995) -> Forecast:
     """Forecast driven by posterior parameter (and optionally state) draws.
 
-    The reference version resamples (params, state) pairs from the joint
+    The reference version resamples (params, state) pairs from the JOINT
     posterior and simulates each forward (SimulateData.forecast,
     Data.scala:202-231).  Here each posterior draw gets its own latent
     trajectory via one vmapped scan; summaries pool over draws.
@@ -935,9 +935,16 @@ def forecast_from_posterior(model: Model, stacked_params, key, t0, ts,
       t0: forecast start time.
       ts: future times [T].
       n_samples: number of posterior draws to propagate.
-      state_samples: optional [n_samples, d] initial latent states (e.g. a
-        filtering cloud); default: fresh draws from each parameter set's
-        initial distribution.
+      state_samples: optional [k, d] initial latent states.  When ``k``
+        equals the number of parameter draws, row ``i`` is treated as the
+        JOINT posterior partner of parameter draw ``i`` (e.g. a
+        ``pmmh(store_state=True)`` result) and the pairing is preserved
+        through the resampling, matching the reference's
+        ``Rand[(Parameters, State)]`` draws (Data.scala:202-217).
+        Otherwise (an exchangeable filtering cloud of any size) states are
+        sampled uniformly and independently of the parameter draws.
+        Default: fresh draws from each parameter set's initial
+        distribution.
     """
     ts = jnp.asarray(ts)
     leaves = jax.tree_util.tree_leaves(stacked_params)
@@ -952,7 +959,15 @@ def forecast_from_posterior(model: Model, stacked_params, key, t0, ts,
     if state_samples is None:
         x0 = jax.vmap(init_one)(jax.random.split(k_init, n_samples), picked)
     else:
-        x0 = jnp.asarray(state_samples)[:n_samples]
+        state_samples = jnp.asarray(state_samples)
+        if state_samples.shape[0] == n_avail:
+            # joint posterior draws: keep the (params, state) pairing
+            x0 = state_samples[idx]
+        else:
+            # exchangeable cloud: independent uniform draws
+            j = jax.random.randint(k_init, (n_samples,), 0,
+                                   state_samples.shape[0])
+            x0 = state_samples[j]
 
     def sim_one(k, p, x):
         def body(carry, inp):

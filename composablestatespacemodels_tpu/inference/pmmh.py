@@ -51,15 +51,21 @@ def symmetric_transition(frm, to) -> jnp.ndarray:
 class PmmhResult:
     """Stacked chain output (leading axis = iteration).
 
-    Reference: ParamsState/MetropState, PMMH.scala:17-26.
+    Reference: ParamsState/MetropState, PMMH.scala:17-26.  With
+    ``store_state`` the chain also carries each iteration's sampled latent
+    final state (the reference ``MetropState.state: StateSpace`` fed by
+    ``filterLlState``, PMMH.scala:26 / ParticleFilter.scala:346-357), so
+    ``(params[i], states[i])`` are JOINT posterior draws -- the input
+    :func:`~.filter.forecast_from_posterior` pairs.
     """
 
     params: object          # pytree stacked [iters, ...]
     lls: jnp.ndarray        # [iters]
     accepted: jnp.ndarray   # [iters] cumulative accepted count (int32)
+    states: object = None   # [iters, d] sampled latent states (store_state)
 
     def tree_flatten(self):
-        return ((self.params, self.lls, self.accepted), None)
+        return ((self.params, self.lls, self.accepted, self.states), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -92,33 +98,56 @@ class PmmhResult:
                                         stride=thin, axis=axis)
 
         return PmmhResult(jax.tree_util.tree_map(take, self.params),
-                          take(self.lls), take(self.accepted))
+                          take(self.lls), take(self.accepted),
+                          None if self.states is None
+                          else jax.tree_util.tree_map(take, self.states))
 
 
 def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
-                   resample: str = "systematic") -> Callable:
+                   resample: str = "systematic",
+                   store_state: bool = False) -> Callable:
     """Bundle a model + data into ``(key, params) -> ll``: the reference
     ``BootstrapFilter`` Reader (package.scala:23-24,
-    ParticleFilter.filterLlState :346-348)."""
+    ParticleFilter.filterLlState :346-348).
+
+    With ``store_state`` the callable returns ``(ll, state)`` where
+    ``state`` is ONE particle sampled uniformly from the final (resampled,
+    hence uniformly weighted) cloud -- a draw from the filtering
+    distribution at ``data.ts[-1]``, the reference ``filterLlState``'s
+    sampled latent state (ParticleFilter.scala:346-357) that
+    :func:`pmmh(store_state=True) <pmmh>` carries through the chain.
+    """
 
     def pf_ll(key, params):
         return bootstrap_filter(model, params, data, n_particles, key,
                                 resample=resample, store="ll").ll
 
-    return pf_ll
+    def pf_ll_state(key, params):
+        k_pf, k_pick = jax.random.split(key)
+        res = bootstrap_filter(model, params, data, n_particles, k_pf,
+                               resample=resample, store="ll")
+        i = jax.random.randint(k_pick, (), 0, n_particles)
+        return res.ll, res.final_particles[i]
+
+    return pf_ll_state if store_state else pf_ll
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class PmmhState:
-    """Resumable chain state (the reference ``MetropState``, PMMH.scala:26)."""
+    """Resumable chain state (the reference ``MetropState``, PMMH.scala:26).
+
+    ``state`` is the carried sampled latent state under ``store_state``
+    (the reference ``MetropState.state: StateSpace``); ``()`` otherwise.
+    """
 
     params: object
     ll: jnp.ndarray
     accepted: jnp.ndarray
+    state: object = ()
 
     def tree_flatten(self):
-        return ((self.params, self.ll, self.accepted), None)
+        return ((self.params, self.ll, self.accepted, self.state), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -132,20 +161,26 @@ def initial_state(params: Tree) -> PmmhState:
 
 
 def _mh_scan(key, init: PmmhState, pf_ll, proposal, prior,
-             log_transition, n_iters: int, approx: bool):
+             log_transition, n_iters: int, approx: bool,
+             store_state: bool = False):
+
+    def eval_ll(k, p):
+        out = pf_ll(k, p)
+        return out if store_state else (out, ())
 
     def mh_step(carry, k):
-        params, ll, accepted = carry
+        params, ll, state, accepted = carry
         k_prop, k_pf, k_pf_old, k_u = jax.random.split(k, 4)
 
         prop = proposal(k_prop, params)
-        ll_prop = pf_ll(k_pf, prop)
+        ll_prop, s_prop = eval_ll(k_pf, prop)
         if approx:
             # doubly-stochastic: refresh the current params' estimate too
-            # (ApproxPMMH, PMMH.scala:138-152)
-            ll_cur = pf_ll(k_pf_old, params)
+            # (ApproxPMMH, PMMH.scala:138-152); the refreshed state stays
+            # paired with the refreshed ll
+            ll_cur, s_cur = eval_ll(k_pf_old, params)
         else:
-            ll_cur = ll
+            ll_cur, s_cur = ll, state
 
         a = (ll_prop + log_transition(prop, params) + prior(prop)
              - log_transition(params, prop) - ll_cur - prior(params))
@@ -154,22 +189,42 @@ def _mh_scan(key, init: PmmhState, pf_ll, proposal, prior,
         new_params = jax.tree_util.tree_map(
             lambda p, q: jnp.where(accept, q, p), params, prop)
         new_ll = jnp.where(accept, ll_prop, ll_cur)
+        new_state = jax.tree_util.tree_map(
+            lambda c, q: jnp.where(accept, q, c), s_cur, s_prop)
         new_acc = accepted + accept.astype(jnp.int32)
-        return (new_params, new_ll, new_acc), (new_params, new_ll, new_acc)
+        carry1 = (new_params, new_ll, new_state, new_acc)
+        return carry1, carry1
 
     keys = jax.random.split(key, n_iters)
-    carry, (ps, lls, accs) = jax.lax.scan(
-        mh_step, (init.params, init.ll, init.accepted), keys)
-    final = PmmhState(carry[0], carry[1], carry[2])
-    return PmmhResult(ps, lls, accs), final
+    carry, (ps, lls, states, accs) = jax.lax.scan(
+        mh_step, (init.params, init.ll, init.state, init.accepted), keys)
+    final = PmmhState(carry[0], carry[1], carry[3], carry[2])
+    return PmmhResult(ps, lls, accs, states if store_state else None), final
 
 
 @partial(jax.jit, static_argnames=("pf_ll", "proposal", "prior",
-                                   "log_transition", "n_iters", "approx"))
+                                   "log_transition", "n_iters", "approx",
+                                   "store_state"))
 def _pmmh_jit(key, init, pf_ll, proposal, prior, log_transition,
-              n_iters, approx):
+              n_iters, approx, store_state):
     return _mh_scan(key, init, pf_ll, proposal, prior, log_transition,
-                    n_iters, approx)
+                    n_iters, approx, store_state)
+
+
+def _seed_latent(init: PmmhState, pf_ll, key, store_state: bool) -> PmmhState:
+    """Give a fresh chain a latent-state carry of the right shape.
+
+    The zeros never reach the output: the first proposal is always
+    accepted (initial ll = -1e30), which overwrites the carry with the
+    first PF's sampled state.
+    """
+    fresh = isinstance(init.state, tuple) and init.state == ()
+    if not store_state or not fresh:
+        return init
+    shape = jax.eval_shape(lambda k, p: pf_ll(k, p)[1], key, init.params)
+    zeros = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shape)
+    return dataclasses.replace(init, state=zeros)
 
 
 def pmmh(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
@@ -177,6 +232,7 @@ def pmmh(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
          prior: Callable = flat_prior,
          log_transition: Callable = symmetric_transition,
          approx: bool = False,
+         store_state: bool = False,
          init_state: Optional["PmmhState"] = None,
          return_state: bool = False):
     """Run one PMMH chain.
@@ -191,6 +247,12 @@ def pmmh(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
       log_transition: ``(from, to) -> log q(to | from)`` (default symmetric).
       approx: re-evaluate the current parameters' likelihood each iteration
         (the reference ApproxPMMH).
+      store_state: carry each iteration's sampled latent state through the
+        chain (the reference ``MetropState.state``, PMMH.scala:26); requires
+        ``pf_ll`` built with ``make_pf_loglik(..., store_state=True)`` (it
+        must return ``(ll, state)``).  The result's ``states[i]`` is then a
+        JOINT posterior draw with ``params[i]`` -- feed both to
+        :func:`~.filter.forecast_from_posterior`.
 
       init_state: resume from a previous :class:`PmmhState` (checkpointed
         chains); overrides ``init_params``.
@@ -199,8 +261,9 @@ def pmmh(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
     Reference call stack: DeterminePosterior, DetermineParameters.scala:55-85.
     """
     init = initial_state(init_params) if init_state is None else init_state
+    init = _seed_latent(init, pf_ll, key, store_state)
     result, final = _pmmh_jit(key, init, pf_ll, proposal, prior,
-                              log_transition, n_iters, approx)
+                              log_transition, n_iters, approx, store_state)
     return (result, final) if return_state else result
 
 
@@ -208,7 +271,8 @@ def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
                 n_iters: int, n_chains: int, *,
                 prior: Callable = flat_prior,
                 log_transition: Callable = symmetric_transition,
-                approx: bool = False) -> PmmhResult:
+                approx: bool = False,
+                store_state: bool = False) -> PmmhResult:
     """Run several independent chains with ``vmap`` (the TPU-native
     replacement for the reference's ``mapAsync(2)`` thread parallelism,
     DetermineParameters.scala:68-69).  Outputs gain a leading chain axis."""
@@ -216,9 +280,13 @@ def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
 
     @partial(jax.jit, static_argnames=())
     def run_all(keys, init_params):
-        return jax.vmap(lambda k: _mh_scan(
-            k, initial_state(init_params), pf_ll, proposal, prior,
-            log_transition, n_iters, approx)[0])(keys)
+        def one(k):
+            init = _seed_latent(initial_state(init_params), pf_ll, k,
+                                store_state)
+            return _mh_scan(k, init, pf_ll, proposal, prior, log_transition,
+                            n_iters, approx, store_state)[0]
+
+        return jax.vmap(one)(keys)
 
     return run_all(keys, init_params)
 

@@ -3,6 +3,7 @@ from .checkpoint import restore_checkpoint, save_checkpoint
 from .data import (SimulatedData, TimeSeries, simulate, simulate_lgcp,
                    simulate_regular, simulate_sde_grid)
 from .io import (metrop_state_from_json, metrop_state_to_json,
+                 read_metrop_states_json, write_metrop_states_json,
                  pf_state_from_json, pf_state_to_json, read_params_json,
                  read_pf_states_json, read_posterior_json,
                  read_timeseries_csv, read_timeseries_json,
@@ -26,6 +27,7 @@ __all__ = [
     "pf_state_to_json", "pf_state_from_json", "write_pf_states_json",
     "read_pf_states_json", "state_space_to_json", "state_space_from_json",
     "metrop_state_to_json", "metrop_state_from_json",
+    "write_metrop_states_json", "read_metrop_states_json",
     "OnlineFilter", "pmmh_monitored", "ascii_histogram",
     "min_sink", "monitor_stream", "windowed_mean_params",
     "save_checkpoint", "restore_checkpoint",

@@ -406,6 +406,48 @@ def metrop_state_from_json(d):
             int(d["accepted"]))
 
 
+def write_metrop_states_json(path: str, result, state_time) -> None:
+    """Line-delimited ``MetropState`` records from a joint-posterior chain
+    (``pmmh(store_state=True)``): ll, params, sampled latent state at
+    ``state_time`` (= the data's last observation time) and the cumulative
+    acceptance count -- the reference's ``monitorStateStream`` sink feeding
+    ``Data.forecast`` (Streaming.scala:84-94, PMMH.scala:26)."""
+    if result.states is None:
+        raise ValueError(
+            "write_metrop_states_json needs a pmmh(store_state=True) "
+            "result (result.states is None)")
+    lls = np.asarray(result.lls)
+    accs = np.asarray(result.accepted)
+    states = np.asarray(result.states)
+    params_np = jax.tree_util.tree_map(np.asarray, result.params)
+    with open(path, "w") as f:
+        for i in range(lls.shape[0]):
+            p_i = jax.tree_util.tree_map(lambda x: x[i], params_np)
+            f.write(json.dumps(metrop_state_to_json(
+                lls[i], p_i, state_time, states[i], accs[i])) + "\n")
+
+
+def read_metrop_states_json(path: str, burn_in: int = 0, thin: int = 1):
+    """Read a joint posterior back: returns ``(stacked_params, lls,
+    state_time, stacked_states, accepted)`` -- the paired draws for
+    :func:`~..inference.filter.forecast_from_posterior`."""
+    recs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                recs.append(metrop_state_from_json(json.loads(line)))
+    recs = recs[burn_in::thin]
+    if not recs:
+        raise ValueError("no metrop records after burn-in/thinning")
+    params = [r[1] for r in recs]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params)
+    lls = jnp.asarray([r[0] for r in recs])
+    states = jnp.stack([r[3] for r in recs])
+    accs = jnp.asarray([r[4] for r in recs], dtype=jnp.int32)
+    return stacked, lls, recs[0][2], states, accs
+
+
 def write_pf_states_json(path: str, states) -> None:
     """Line-delimited PfState records (one per filter step) -- the
     reference streams these through its Show/json sinks."""

@@ -92,6 +92,7 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
                    prior: Callable = None,
                    log_transition: Callable = None,
                    approx: bool = False,
+                   store_state: bool = False,
                    checkpoint_path: Optional[str] = None,
                    log_every: bool = True,
                    out=None) -> PmmhResult:
@@ -101,17 +102,21 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
     prints every 100 iterations, Streaming.monitorStream,
     Streaming.scala:72-94).  If ``checkpoint_path`` is given, chain state
     (params, ll, accepted, key, completed chunks) is saved after each chunk
-    and the run resumes from it if present.
+    and the run resumes from it if present.  ``store_state`` carries the
+    sampled latent state through the chain and checkpoints (joint-posterior
+    chains, the reference monitorStateStream, Streaming.scala:84-94);
+    ``pf_ll`` must then return ``(ll, state)``
+    (``make_pf_loglik(..., store_state=True)``).
     """
-    from ..inference.pmmh import (PmmhResult, flat_prior, initial_state,
-                                  pmmh, symmetric_transition)
+    from ..inference.pmmh import (PmmhResult, _seed_latent, flat_prior,
+                                  initial_state, pmmh, symmetric_transition)
 
     prior = flat_prior if prior is None else prior
     log_transition = (symmetric_transition if log_transition is None
                       else log_transition)
     out = sys.stderr if out is None else out
     n_chunks = -(-n_iters // chunk_size)
-    state = initial_state(init_params)
+    state = _seed_latent(initial_state(init_params), pf_ll, key, store_state)
     start_chunk = 0
 
     def _chunk_path(c):
@@ -123,7 +128,9 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
         return PmmhResult(
             jax.tree_util.tree_map(zeros, init_params),
             jnp.zeros((size,), jnp.result_type(float)),
-            jnp.zeros((size,), jnp.int32))
+            jnp.zeros((size,), jnp.int32),
+            None if not store_state
+            else jax.tree_util.tree_map(zeros, state.state))
 
     pieces = []
     if checkpoint_path and checkpoint_exists(checkpoint_path):
@@ -150,7 +157,8 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
         k_chunk = jax.random.fold_in(key, c)
         res, state = pmmh(k_chunk, init_params, pf_ll, proposal, size,
                           prior=prior, log_transition=log_transition,
-                          approx=approx, init_state=state, return_state=True)
+                          approx=approx, store_state=store_state,
+                          init_state=state, return_state=True)
         pieces.append(jax.device_get(res))
         if log_every:
             total_acc = int(state.accepted)
@@ -170,7 +178,9 @@ def pmmh_monitored(key, init_params: Tree, pf_ll: Callable,
     return PmmhResult(
         jax.tree_util.tree_map(cat, *[p.params for p in pieces]),
         cat(*[p.lls for p in pieces]),
-        cat(*[p.accepted for p in pieces]))
+        cat(*[p.accepted for p in pieces]),
+        None if not store_state else jax.tree_util.tree_map(
+            cat, *[p.states for p in pieces]))
 
 
 def thin_stream(xs, step: int):

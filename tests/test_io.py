@@ -180,6 +180,34 @@ def test_pmmh_monitored_checkpoint_resume(tmp_path, capsys, key):
     assert 0.0 <= float(res2.acceptance_rate()) <= 1.0
 
 
+def test_pmmh_monitored_store_state_resume(tmp_path, key):
+    """Joint-posterior chains (store_state) checkpoint and resume: the
+    carried latent state survives the seam and the full states array comes
+    back (monitorStateStream parity, Streaming.scala:84-94)."""
+    model = linear(brownian_motion(1))
+    p0 = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = simulate_regular(model, p0, key, 30, dt=0.5)
+    pf_ll = pm.make_pf_loglik(model, sim.to_timeseries(), 64,
+                              store_state=True)
+    path = str(tmp_path / "jchain.npz")
+
+    res1 = strm.pmmh_monitored(key, p0, pf_ll, perturb(0.01), 40,
+                               chunk_size=20, store_state=True,
+                               checkpoint_path=path, log_every=False)
+    assert res1.states.shape == (40, model.dim)
+    res2 = strm.pmmh_monitored(key, p0, pf_ll, perturb(0.01), 60,
+                               chunk_size=20, store_state=True,
+                               checkpoint_path=path, log_every=False)
+    assert res2.states.shape == (60, model.dim)
+    np.testing.assert_allclose(np.asarray(res2.states[:40]),
+                               np.asarray(res1.states), rtol=1e-6)
+    # states refresh exactly on acceptances across the seam too
+    inc = np.diff(np.asarray(res2.accepted))
+    same = (np.asarray(res2.states[1:])
+            == np.asarray(res2.states[:-1])).all(1)
+    np.testing.assert_array_equal(same, inc == 0)
+
+
 def test_checkpoint_dtype_mismatch_raises(tmp_path):
     path = str(tmp_path / "c.npz")
     ckpt.save_checkpoint(path, {"x": jnp.ones((3,), jnp.float32)})

@@ -222,3 +222,77 @@ def test_adaptive_pmmh_degenerate_pilot_does_not_freeze(lg_setup, key):
     flat = np.asarray(res.params.value.scale)
     assert np.std(flat) >= 0  # runs; and proposals are not all identical:
     assert np.isfinite(res.lls).all()
+
+
+def test_pmmh_store_state_joint_draws(lg_setup, key):
+    """store_state carries one sampled latent final state per iteration
+    (MetropState.state, PMMH.scala:26 fed by filterLlState,
+    ParticleFilter.scala:346-357): shapes, finiteness, and the state only
+    changes when a proposal is accepted."""
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 100, store_state=True)
+    res = pm.pmmh(key, p0, pf_ll, perturb(0.02), 300, store_state=True)
+    assert res.states.shape == (300, model.dim)
+    assert bool(jnp.isfinite(res.states).all())
+    inc = np.diff(np.asarray(res.accepted))
+    same = (np.asarray(res.states[1:]) == np.asarray(res.states[:-1])).all(1)
+    # rejected iterations carry the state unchanged; accepted draw a new one
+    np.testing.assert_array_equal(same, inc == 0)
+    # plain pf_ll without store_state is unchanged
+    res2 = pm.pmmh(key, p0, pm.make_pf_loglik(model, data, 100),
+                   perturb(0.02), 50)
+    assert res2.states is None
+
+
+def test_pmmh_store_state_chains(lg_setup, key):
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 100, store_state=True)
+    res = pm.pmmh_chains(key, p0, pf_ll, perturb(0.02), 60, 3,
+                         store_state=True)
+    assert res.states.shape == (3, 60, model.dim)
+    kept = res.thin(burn_in=20, thin=2)
+    assert kept.states.shape == (3, 20, model.dim)
+
+
+def test_pmmh_store_state_posterior_matches_kalman(lg_setup, key):
+    """The carried latent states are draws from the filtering distribution
+    at the last observation time: their posterior mean must match the
+    Kalman filtering mean there (the joint-posterior forecast input,
+    Data.scala:202-217)."""
+    from composablestatespacemodels_tpu import kalman_filter
+
+    model, p0, data = lg_setup
+    kf = kalman_filter(model, p0, data)
+    pf_ll = pm.make_pf_loglik(model, data, 300, store_state=True)
+    # fixed params (zero-width proposal would never accept; tiny instead)
+    res = pm.pmmh(key, p0, pf_ll, perturb(1e-4), 400, store_state=True)
+    states = np.asarray(res.states[50:, 0])
+    kf_mean = float(kf.means[-1, 0])
+    kf_sd = float(np.sqrt(kf.covs[-1, 0, 0]))
+    # states only refresh on acceptance -> effective sample size is the
+    # number of acceptances; bound generously
+    n_eff = max(int(res.accepted[-1]), 1)
+    assert abs(states.mean() - kf_mean) < 5 * kf_sd / np.sqrt(n_eff) + 0.3
+    assert 0.3 * kf_sd < states.std() < 3.0 * kf_sd
+
+
+def test_metrop_states_json_roundtrip(tmp_path, lg_setup, key):
+    from composablestatespacemodels_tpu.utils.io import (
+        read_metrop_states_json, write_metrop_states_json)
+
+    model, p0, data = lg_setup
+    pf_ll = pm.make_pf_loglik(model, data, 50, store_state=True)
+    res = pm.pmmh(key, p0, pf_ll, perturb(0.02), 20, store_state=True)
+    path = str(tmp_path / "metrop.json")
+    t_last = float(data.ts[-1])
+    write_metrop_states_json(path, res, t_last)
+    stacked, lls, t_back, states, accs = read_metrop_states_json(path)
+    assert t_back == t_last
+    np.testing.assert_allclose(np.asarray(lls), np.asarray(res.lls),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(states), np.asarray(res.states),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(accs), np.asarray(res.accepted))
+    np.testing.assert_allclose(
+        np.asarray(stacked.value.scale), np.asarray(res.params.value.scale),
+        rtol=1e-6)
