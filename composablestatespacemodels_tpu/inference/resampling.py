@@ -230,6 +230,23 @@ def multinomial_indices(key, weights, n: int | None = None):
     return _lookup(cdf, positions)
 
 
+def _iid_draws_sorted_permuted(key, weights, n: int):
+    """n iid draws from ``weights``, built search-free.
+
+    :func:`multinomial_counts` (one merged-rank argsort) yields the draw
+    multiset in SORTED ancestor order; a uniformly random permutation of
+    the n slots restores exchangeability, so the result is distributed
+    exactly as n iid lookups -- and in particular any fixed-size PREFIX of
+    it is an iid sample (a random permutation of iid draws is the same
+    random vector; a sorted prefix would instead be biased toward low
+    order statistics).  This is the TPU residual fill: ``searchsorted``
+    costs ~130 ms at N=1e6 on a v5e, the two argsorts a few ms.
+    """
+    k_mult, k_perm = jax.random.split(key)
+    anc = _ancestors_from_counts(multinomial_counts(k_mult, weights, n), n)
+    return anc[jax.random.permutation(k_perm, n)]
+
+
 def residual_indices(key, weights, n: int | None = None):
     """Residual resampling with fixed shapes.
 
@@ -239,12 +256,12 @@ def residual_indices(key, weights, n: int | None = None):
     fixed-shape ``repeat(..., total_repeat_length=n)`` plus a positional mask:
     slots < K take deterministic copies, slots >= K take multinomial draws.
 
-    Perf note: the residual fill keeps the per-position ``searchsorted``
-    lookup (the positional slot mask needs per-slot iid draws, so the
-    sorted :func:`multinomial_counts` trick does not apply -- taking the
-    tail of *sorted* draws would bias toward upper order statistics).
-    That lookup costs ~130 ms at N=1e6 on a TPU v5e: at benchmark N prefer
-    'systematic' / 'stratified' (search-free) or 'multinomial'.
+    The residual fill needs per-slot iid draws (the mask takes a
+    K-dependent prefix of them): on TPU these come from the sorted
+    counts-based multinomial under a random slot permutation
+    (:func:`_iid_draws_sorted_permuted` -- search-free, exchangeable, so
+    the prefix is unbiased); elsewhere the per-position ``searchsorted``
+    lookup (cheap on CPU, ~130 ms at N=1e6 on a v5e).
     """
     m = weights.shape[0]
     n = m if n is None else n
@@ -259,9 +276,12 @@ def residual_indices(key, weights, n: int | None = None):
     # guard: if residual mass is exactly zero (all weights uniform), fall back
     # to uniform residual distribution -- those slots are masked out anyway
     safe = jnp.where(jnp.sum(residual) > 0, residual, jnp.ones_like(residual))
-    cdf = _cumsum(_normalise(safe))
-    positions = jax.random.uniform(key, (n,), weights.dtype)
-    multi = _lookup(cdf, positions)
+    if jax.default_backend() == "tpu":
+        multi = _iid_draws_sorted_permuted(key, safe, n)
+    else:
+        cdf = _cumsum(_normalise(safe))
+        positions = jax.random.uniform(key, (n,), weights.dtype)
+        multi = _lookup(cdf, positions)
 
     slot = jnp.arange(n)
     return jnp.where(slot < k_total, det, multi)

@@ -144,3 +144,66 @@ def test_multinomial_counts_weighted_mean(key):
     means = jax.vmap(one)(keys)
     se = jnp.std(means) / np.sqrt(50)
     assert abs(float(jnp.mean(means) - target)) < 5 * float(se) + 1e-3
+
+
+def test_iid_sorted_permuted_matches_lookup_distribution(key):
+    """The TPU residual fill (_iid_draws_sorted_permuted: counts-based
+    sorted multinomial + random slot permutation) is distributed as iid
+    lookups, INCLUDING any fixed prefix of slots (the property
+    residual_indices' K-dependent mask relies on -- a sorted prefix would
+    bias toward low ancestors)."""
+    w = jnp.asarray([0.05, 0.1, 0.15, 0.2, 0.5])
+    m, n, trials = 5, 40, 300
+    counts_full = np.zeros(m)
+    counts_prefix = np.zeros(m)
+    slot_means = np.zeros(n)
+    for i in range(trials):
+        idx = np.asarray(rs._iid_draws_sorted_permuted(
+            jax.random.fold_in(key, i), w, n))
+        counts_full += np.bincount(idx, minlength=m)
+        counts_prefix += np.bincount(idx[:11], minlength=m)  # odd prefix
+        slot_means += idx
+    for counts, total in ((counts_full, n * trials),
+                          (counts_prefix, 11 * trials)):
+        freq = counts / total
+        se = np.sqrt(np.asarray(w) * (1 - np.asarray(w)) / total)
+        assert (np.abs(freq - np.asarray(w)) < 5 * se + 1e-3).all(), freq
+    # no slot-position structure left after the permutation
+    slot_means /= trials
+    assert slot_means.std() < 0.5, slot_means.std()
+
+
+def test_residual_multiset_parity_tpu_vs_lookup(key):
+    """residual_indices' two fill paths (lookup vs sorted+permuted) agree
+    in distribution: compare ancestor frequencies over many keys."""
+    w = jnp.asarray([0.02, 0.08, 0.3, 0.6])
+    m, n, trials = 4, 32, 300
+    wn = np.asarray(w) / np.asarray(w).sum()
+    ki = np.floor(wn * n).astype(int)
+    residual = np.maximum(wn * n - ki, 0)
+    r_total = n - ki.sum()
+    expected = ki + r_total * residual / residual.sum()
+
+    def run(fill_tpu):
+        counts = np.zeros(m)
+        for i in range(trials):
+            k = jax.random.fold_in(key, i)
+            kk = jnp.asarray(ki, jnp.int32)
+            det = jnp.repeat(jnp.arange(m), kk, total_repeat_length=n)
+            safe = jnp.asarray(residual)
+            if fill_tpu:
+                multi = rs._iid_draws_sorted_permuted(k, safe, n)
+            else:
+                cdf = rs._cumsum(rs._normalise(safe))
+                multi = rs._lookup(cdf, jax.random.uniform(k, (n,)))
+            idx = np.asarray(jnp.where(jnp.arange(n) < int(ki.sum()),
+                                       det, multi))
+            counts += np.bincount(idx, minlength=m)
+        return counts / trials
+
+    f_tpu = run(True)
+    f_cpu = run(False)
+    se = np.sqrt(r_total * residual / residual.sum()) / np.sqrt(trials) + 0.05
+    assert (np.abs(f_tpu - expected) < 6 * se).all(), (f_tpu, expected)
+    assert (np.abs(f_cpu - expected) < 6 * se).all(), (f_cpu, expected)
+    assert (np.abs(f_tpu - f_cpu) < 8 * se).all()
