@@ -135,6 +135,78 @@ def run(n_particles: int, n_steps: int, repeats: int = 3) -> float:
     return n_particles * n_steps / median
 
 
+def bench_decompose(n_particles: int, n_steps: int = 1000) -> dict:
+    """Record the fused-step perf decomposition (VERDICT r3 #10): ms/step
+    of the counts pipeline, the merge kernel (counts+merge minus counts),
+    and the standalone fused propagate tail, each measured inside a
+    T-step ``lax.scan`` (per-dispatch tunnel overhead ~0.3-0.6 ms makes
+    single-op timings meaningless -- CLAUDE.md).  Future rounds diff these
+    against docs/performance.md to catch kernel regressions without
+    re-deriving the breakdown.
+    """
+    from composablestatespacemodels_tpu.inference.filter import _kernel_block
+    from composablestatespacemodels_tpu.inference.resampling import (
+        systematic_counts)
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        propagate_weights_t, sorted_gather_resample_t)
+
+    n = n_particles
+    d = 8
+    kblock = _kernel_block(n)
+    key = jax.random.key(0, impl="rbg")
+    # mild weight regime (the bench filter's own regime: count==1 rate
+    # ~0.5, chunk spans 2-3 -- scripts/measure_count_structure.py)
+    logw = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (n,))
+    w = jnp.exp(logw - jnp.max(logw))
+    w = w / jnp.sum(w)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (d, n))
+    coef = jnp.stack([jnp.full((d,), 0.9), jnp.zeros((d,)),
+                      jnp.full((d,), 0.1)], axis=1)
+
+    def timed(make_step, carry0):
+        def body(c, i):
+            return make_step(c, i), 0
+        @jax.jit
+        def scan(c0, k0):
+            c, _ = jax.lax.scan(
+                body, c0, jnp.arange(n_steps, dtype=jnp.int32))
+            return c
+        r = scan(carry0, key)
+        jax.tree_util.tree_map(lambda a: float(jnp.sum(a.astype(jnp.float32))
+                                               ), r)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = scan(carry0, key)
+            jax.tree_util.tree_map(
+                lambda a: float(jnp.sum(a.astype(jnp.float32))), r)
+            best = min(best, time.perf_counter() - t0)
+        return best / n_steps * 1e3
+
+    def counts_step(c, i):
+        k = jax.random.fold_in(key, i)
+        return systematic_counts(k, w) + c * 0
+
+    def counts_merge_step(x, i):
+        k = jax.random.fold_in(key, i)
+        counts = systematic_counts(k, w)
+        return sorted_gather_resample_t(x, counts, block=kblock)
+
+    def tail_step(x, i):
+        seed = jnp.asarray([i], jnp.int32)
+        return propagate_weights_t(x, coef, seed, block=kblock)
+
+    c0 = jnp.zeros((n,), jnp.int32)
+    counts_ms = timed(counts_step, c0)
+    cm_ms = timed(counts_merge_step, x0)
+    tail_ms = timed(tail_step, x0)
+    out = {"counts_ms": round(counts_ms, 4),
+           "merge_ms": round(cm_ms - counts_ms, 4),
+           "tail_ms": round(tail_ms, 4)}
+    print(f"decomposition (N={n}, T={n_steps}): {out}", file=sys.stderr)
+    return out
+
+
 def bench_sharded(n_particles: int, n_steps: int = 200) -> float:
     """Secondary metric: the multi-chip filter path (transposed sharded scan,
     distributed ppermute resampling, Pallas local fill) on a mesh over the
@@ -276,6 +348,7 @@ def main():
             throughput / BASELINE_PARTICLE_STEPS_PER_SEC, 2),
     }
     if (args.pmmh or not args.smoke) and not args.no_secondary:
+        result["decompose_ms_per_step"] = bench_decompose(n)
         result["pmmh_iters_per_sec"] = round(bench_pmmh(), 1)
         result["pmmh_chains_aggregate_iters_per_sec"] = round(
             bench_pmmh_chains(), 1)
