@@ -63,32 +63,10 @@ _LANE = 128
 _DUP_W_DEFAULT = int(os.environ.get("CSSM_DUP_WINDOW", "3"))
 
 
-def _cols_from_rows(c_rows):
-    """[nc, 128] row-major counts -> [128, 128] column-major (chunk m's
-    128 entries become lane m's sublanes; lanes >= nc zero-padded, never
-    selected because hi stays < the valid chunk range).  The in-kernel
-    transpose + pad replace the XLA prepass's column-packed materialisation
-    (16 MB of lane-padded writes per step at N=2^20) -- compile-checked
-    bit-exact on a real v5e."""
-    ct = jnp.transpose(c_rows, (1, 0))
-    pad = _LANE - ct.shape[1]
-    return jnp.pad(ct, ((0, 0), (0, pad))) if pad else ct
-
-
-def _maxima_tile(c_rows):
-    """[nc, 128] row-major counts -> [nc, 128] chunk-maxima tile (chunk
-    m's max -- its lane-127 entry -- replicated along lanes in sublane m),
-    the level-1 counting operand the XLA prepass used to publish as
-    ``mx_cols``.  Sublane-major with a lanes-only broadcast (supported on
-    real Mosaic; the both-directions [1, 1] broadcast is not)."""
-    nc = c_rows.shape[0]
-    return jnp.broadcast_to(c_rows[:, _LANE - 1:_LANE], (nc, _LANE))
-
-
 def _merge_kernel_body(serve_args, out_ref):
     """Shared merge-gather body (see :func:`_merge_kernel` docstring)."""
     (first_ref, last_ref, base_ref, idx0_ref, simple_ref,
-     c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm,
+     c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk, c_hbm, xt_hbm,
      cblk, xblk, sem_c, sem_x, xcomb_ref, dup_window) = serve_args
     g = pl.program_id(0)
     d, block = out_ref.shape
@@ -99,28 +77,20 @@ def _merge_kernel_body(serve_args, out_ref):
     q0 = g * block
     q_row = q0 + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)  # [1, B]
 
-    def serve(c_rows_ref, x_at, prev_cmax):
-        c_rows_at = c_rows_ref[...]
-        cmax = c_rows_at[n_chunks - 1, _LANE - 1]
-        c_at = _cols_from_rows(c_rows_at)
-        mx_t = _maxima_tile(c_rows_at)
+    def serve(c_at, x_at, prev_cmax):
+        cmax = c_at[_LANE - 1, n_chunks - 1]
 
         # block-local ancestor = #entries <= q, two-level (see _merge_kernel)
-        h_pieces = []
-        for j in range(n_chunks):
-            sl = slice(j * _LANE, (j + 1) * _LANE)
-            h_pieces.append(jnp.sum(
-                (mx_t <= q_row[:, sl]).astype(jnp.int32), axis=0,
-                keepdims=True))
-        h = (h_pieces[0] if n_chunks == 1
-             else jnp.concatenate(h_pieces, axis=1))
+        h = jnp.zeros((1, block), jnp.int32)
+        for m in range(n_chunks):
+            h = h + (c_at[_LANE - 1, m] <= q_row).astype(jnp.int32)
         hi = jnp.minimum(h, n_chunks - 1)                         # [1, B]
 
         hi_sel = jnp.broadcast_to(hi, (_LANE, block))
         pieces = []
         for j in range(n_chunks):
             sl = slice(j * _LANE, (j + 1) * _LANE)
-            csel = jnp.take_along_axis(c_at, hi_sel[:, sl],
+            csel = jnp.take_along_axis(c_at[:, :_LANE], hi_sel[:, sl],
                                        axis=1)                    # [128, 128]
             pieces.append(jnp.sum(
                 (csel <= q_row[:, sl]).astype(jnp.int32), axis=0,
@@ -156,24 +126,22 @@ def _merge_kernel_body(serve_args, out_ref):
     # chunk-maxima contributions are masked out (`valid2`), which makes
     # hi < n_chunks everywhere active, so the duplicate columns are never
     # selected.
-    c0r = c0_blk[0]                                   # [nc, 128] row-major
-    c1r = c1_blk[0]
-    c0 = _cols_from_rows(c0r)                         # [128, 128] col-major
-    c1 = _cols_from_rows(c1r)
+    c0 = c0_blk[0]
+    c1 = c1_blk[0]
     valid2 = (first_ref[g] + 1) <= (pl.num_programs(0) - 1)
-    cmax0 = c0r[n_chunks - 1, _LANE - 1]
-    cmax1 = c1r[n_chunks - 1, _LANE - 1]
+    cmax0 = c0[_LANE - 1, n_chunks - 1]
+    cmax1 = c1[_LANE - 1, n_chunks - 1]
     cmax_eff = jnp.where(valid2, cmax1, cmax0)
 
-    # level 1 from SUBLANE-major chunk-maxima tiles (derived in-kernel
-    # from the row-major count blocks: chunk m's max is its lane-127
-    # entry, lane-broadcast along the tile): per output chunk, ONE
-    # [nc, 128] compare + a log-tree sublane reduction replaces n_chunks
+    # level 1 from the SUBLANE-major chunk-maxima operands (the XLA
+    # prepass replicates each block's n_chunks maxima along lanes into
+    # [S, 128] tiles, padding rows with INT32_MAX): per output chunk, ONE
+    # [S, 128] compare + a log-tree sublane reduction replaces n_chunks
     # scalar-broadcast compares against the [1, B] slot row (which spans
     # 16 mostly-empty lane-tiles at block=2048).  Same formula, ~8x fewer
     # vreg ops; downstream layouts unchanged.
-    m0 = _maxima_tile(c0r)                                       # [nc, 128]
-    m1 = _maxima_tile(c1r)
+    m0 = m0_blk[0]                                               # [S, 128]
+    m1 = m1_blk[0]
     h_pieces = []
     h2_pieces = []
     for j in range(n_chunks):
@@ -346,17 +314,16 @@ def _make_merge_kernel(dup_window: int):
     mask is empty).  Spans of three or more input blocks (offspring
     concentration) fall back to manual DMAs from ``c_hbm``/``xt_hbm``.
 
-    c_hbm [n_in, nc, 128] int32 ROW-major: row m of a block holds entries
-    [128*m, 128*(m+1)) -- a free reshape of the flat counts (the kernel
-    transposes to the column-major gather operand and derives the
-    chunk-maxima tiles in-VMEM; see :func:`_cols_from_rows`).  out_ref is
-    the g-th [d, B] output block in VMEM.
+    c_hbm [n_in, 128, C] int32: column m of a block holds entries
+    [128*m, 128*(m+1)), lane-padded to C >= 128.  out_ref is the g-th
+    [d, B] output block in VMEM.
 
-    Scratch: cblk [nc, 128] int32, xblk [d, B], two DMA semaphores.
+    Scratch: cblk [128, C] int32, xblk [d, B], two DMA semaphores.
 
     Two-level in-block counting: level 1 -- boundary chunk h = #chunk-maxima
-    <= q, a [nc, 128] maxima-tile compare + sublane reduction per output
-    chunk; level 2 -- gather chunk h's 128-entry column per slot and
+    <= q, from n_chunks scalar VMEM loads broadcast against the
+    lane-oriented q row (chunk m's max is its last sublane, row 127 of
+    column m); level 2 -- gather chunk h's 128-entry column per slot and
     count entries <= q inside it.  Chunks below h contribute all 128
     entries, chunks above h none, so hi == h and lo == inner count directly
     (chunk h's max is > q, hence inner <= 127).  This does ONE [128, B]
@@ -364,12 +331,12 @@ def _make_merge_kernel(dup_window: int):
     """
 
     def kernel(first_ref, last_ref, base_ref, idx0_ref, simple_ref,
-               c0_blk, x0_blk, c1_blk, x1_blk,
+               c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk,
                c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x,
                *xcomb):
         _merge_kernel_body(
             (first_ref, last_ref, base_ref, idx0_ref, simple_ref,
-             c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm,
+             c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk, c_hbm, xt_hbm,
              cblk, xblk, sem_c, sem_x, xcomb[0] if xcomb else None,
              dup_window), out_ref)
 
@@ -392,19 +359,20 @@ def _make_merge_propagate_kernel(weight_fn=None, weight_row: int = 0,
     def kernel(first_ref, last_ref, base_ref, seed_ref, idx0_ref,
                simple_ref, *rest):
         if weight_fn is None:
-            (coef_blk, c0_blk, x0_blk, c1_blk, x1_blk,
+            (coef_blk, c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk,
              c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x,
              *xcomb) = rest
             wconsts = None
         else:
             (coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
+             m0_blk, m1_blk,
              c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c, sem_x,
              *xcomb) = rest
         _merge_propagate_tail(
             weight_fn, weight_row, dup_window, first_ref, last_ref,
             base_ref, seed_ref, idx0_ref, simple_ref,
             coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
-            c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c,
+            m0_blk, m1_blk, c_hbm, xt_hbm, out_ref, cblk, xblk, sem_c,
             sem_x, xcomb[0] if xcomb else None)
 
     return kernel
@@ -414,7 +382,7 @@ def _merge_propagate_tail(weight_fn, weight_row, dup_window,
                           first_ref, last_ref, base_ref, seed_ref,
                           idx0_ref, simple_ref,
                           coef_blk, wconsts, c0_blk, x0_blk, c1_blk, x1_blk,
-                          c_hbm, xt_hbm, out_ref,
+                          m0_blk, m1_blk, c_hbm, xt_hbm, out_ref,
                           cblk, xblk, sem_c, sem_x, xcomb_ref):
     """Merge-gather resample fused with a diagonal affine-Gaussian
     transition applied to the output block while it is still in VMEM:
@@ -432,7 +400,7 @@ def _merge_propagate_tail(weight_fn, weight_row, dup_window,
     """
     _merge_kernel_body(
         (first_ref, last_ref, base_ref, idx0_ref, simple_ref,
-         c0_blk, x0_blk, c1_blk, x1_blk, c_hbm, xt_hbm,
+         c0_blk, x0_blk, c1_blk, x1_blk, m0_blk, m1_blk, c_hbm, xt_hbm,
          cblk, xblk, sem_c, sem_x, xcomb_ref, dup_window), out_ref)
 
     out_ref[...] = _propagate_weights_block(
@@ -490,13 +458,9 @@ def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
 
     first_g = #blocks whose max count <= g*block (== anc_{gB} // block):
     a dense [n_blocks, n_blocks] compare over block maxima beats a 20-round
-    binary search over the full counts array.  The counts themselves reach
-    the kernel ROW-MAJOR (``c_rows``: block j, row m = entries
-    [128m, 128(m+1)) -- a free reshape of the [N] array); the kernel
-    derives the column-major gather operand and the chunk-maxima tiles
-    in-VMEM (:func:`_cols_from_rows` / :func:`_maxima_tile`), which
-    replaces the ~20 MB/step of lane-padded ``c_cols``/``mx_cols``
-    materialisation this prepass used to do at N=2^20.
+    binary search over the full counts array.  Also returns the
+    column-packed counts (block j, column m = entries [128m, 128(m+1));
+    lanes padded to >= 128 so the per-block DMA tile stays aligned).
 
     With ``dup_w`` > 0 additionally derives the windowed-duplication
     scalars: per output chunk (g, k) the group-window base ``idx0[g, k]``
@@ -509,9 +473,7 @@ def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
     n_blocks = n // block
     n_chunks = block // _LANE
     edges = jnp.arange(n_blocks, dtype=jnp.int32) * block
-    c_rows = counts.reshape(n_blocks, n_chunks, _LANE)
-    mx = c_rows[:, :, -1]                                 # [n_blocks, nc]
-    blockmax = mx[:, -1]
+    blockmax = counts.reshape(n_blocks, block)[:, -1]
     first = jnp.sum((blockmax[None, :] <= edges[:, None]).astype(jnp.int32),
                     axis=1)
     last = jnp.sum(
@@ -521,7 +483,25 @@ def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
     last = jnp.clip(last, 0, n_blocks - 1).astype(jnp.int32)
     base = jnp.where(first > 0, blockmax[jnp.maximum(first - 1, 0)],
                      0).astype(jnp.int32)
+
+    c_cols = counts.reshape(n_blocks, n_chunks, _LANE).transpose(0, 2, 1)
+    pad = _LANE - n_chunks
+    if pad > 0:
+        c_cols = jnp.pad(c_cols, ((0, 0), (0, 0), (0, pad)))
+
+    # sublane-major chunk maxima, replicated along lanes, for the kernel's
+    # level-1 count ([S, 128] per block; padding rows INT32_MAX so they
+    # never satisfy `max <= q`).  S is the sublane-aligned chunk count.
+    s_rows = max(-(-n_chunks // 8) * 8, 8)
+    mx = c_cols[:, _LANE - 1, :n_chunks]                  # [n_blocks, nc]
     big = jnp.iinfo(jnp.int32).max
+    if s_rows > n_chunks:
+        mx_pad = jnp.concatenate(
+            [mx, jnp.full((n_blocks, s_rows - n_chunks), big, jnp.int32)],
+            axis=1)
+    else:
+        mx_pad = mx
+    mx_cols = jnp.broadcast_to(mx_pad[:, :, None], (n_blocks, s_rows, _LANE))
 
     if dup_w:
         # windowed-duplication scalars, mirroring the kernel's level-1
@@ -550,7 +530,7 @@ def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
     else:
         idx0 = jnp.zeros((n_blocks, n_chunks), jnp.int32)
         simple = jnp.zeros((n_blocks,), jnp.int32)
-    return first, last, base, c_rows, idx0, simple
+    return first, last, base, c_cols, mx_cols, idx0, simple
 
 
 def _merge_specs(d, block, n_chunks, dtype, dup_w: int = 0):
@@ -574,21 +554,23 @@ def _merge_specs(d, block, n_chunks, dtype, dup_w: int = 0):
     def im_x1(g, first, *_):
         return (0, jnp.minimum(first[g] + 1, first.shape[0] - 1))
 
+    s_rows = max(-(-n_chunks // 8) * 8, 8)
     in_specs = [
         # auto-pipelined first two input blocks per output block
-        # (counts ROW-major [nc, 128]: sublane extent nc is 8-aligned for
-        # every production block size, no lane padding needed)
-        pl.BlockSpec((1, n_chunks, _LANE), im_c0),
+        pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)), im_c0),
         pl.BlockSpec((d, block), im_x0),
-        pl.BlockSpec((1, n_chunks, _LANE), im_c1),
+        pl.BlockSpec((1, _LANE, max(n_chunks, _LANE)), im_c1),
         pl.BlockSpec((d, block), im_x1),
+        # sublane-major chunk maxima of the same two blocks (level-1 count)
+        pl.BlockSpec((1, s_rows, _LANE), im_c0),
+        pl.BlockSpec((1, s_rows, _LANE), im_c1),
         # raw refs for the rare manual path
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_specs = pl.BlockSpec((d, block), lambda g, *_: (0, g))
     scratch = [
-        pltpu.VMEM((n_chunks, _LANE), jnp.int32),
+        pltpu.VMEM((_LANE, max(n_chunks, _LANE)), jnp.int32),
         pltpu.VMEM((d, block), dtype),
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
@@ -633,7 +615,7 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
     _check_block(n, block)
     dw = _resolve_dup_window(block, dup_window)
     counts = counts.astype(jnp.int32)
-    first, last, base, c_rows, idx0, simple = _merge_prepass(
+    first, last, base, c_cols, mx_cols, idx0, simple = _merge_prepass(
         counts, n, block, dw)
     in_specs, out_specs, scratch = _merge_specs(
         d, block, block // _LANE, x_t.dtype, dw)
@@ -651,8 +633,8 @@ def sorted_gather_resample_t(x_t, counts, block: int = 1024,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, idx0, simple, c_rows, x_t, c_rows, x_t,
-      c_rows, x_t)
+    )(first, last, base, idx0, simple, c_cols, x_t, c_cols, x_t,
+      mx_cols, mx_cols, c_cols, x_t)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret", "weight_family",
@@ -700,7 +682,7 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     counts = counts.astype(jnp.int32)
     coef = coef.astype(x_t.dtype)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    first, last, base, c_rows, idx0, simple = _merge_prepass(
+    first, last, base, c_cols, mx_cols, idx0, simple = _merge_prepass(
         counts, n, block, dw)
     in_specs, out_specs, scratch = _merge_specs(
         d, block, block // _LANE, x_t.dtype, dw)
@@ -735,8 +717,8 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, n), x_t.dtype),
         interpret=interpret,
-    )(first, last, base, seed, idx0, simple, *args, c_rows, x_t, c_rows,
-      x_t, c_rows, x_t)
+    )(first, last, base, seed, idx0, simple, *args, c_cols, x_t, c_cols,
+      x_t, mx_cols, mx_cols, c_cols, x_t)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret", "weight_family",

@@ -204,7 +204,7 @@ def test_dup_window_mixed_simple_and_fallback(key):
     w = jnp.ones((n,))
     w = w.at[40 * 128:43 * 128].set(0.3125)
     counts = systematic_counts(key, w)
-    _, _, _, _, _, simple = _merge_prepass(counts, n, 1024, 2)
+    _, _, _, _, _, _, simple = _merge_prepass(counts, n, 1024, 2)
     s = np.asarray(simple)
     assert 0 < s.sum() < s.size, f"fixture too tame: {s.sum()}/{s.size}"
     x_t = jax.random.normal(key, (8, n))
