@@ -490,3 +490,72 @@ def test_sharded_pmmh_transposed(lg_case, key):
     assert bool(jnp.isfinite(res.lls).all())
     rates = np.asarray(res.acceptance_rate())
     assert (rates > 0).all()
+
+
+def test_sharded_pmmh_approx(lg_case, key):
+    """ApproxPMMH over the mesh (PMMH.scala:128-153): the current
+    parameters' ll is refreshed every iteration, so accepted lls change
+    even on rejections (doubly-stochastic chain)."""
+    from composablestatespacemodels_tpu.parallel import sharded_pmmh
+
+    model, params, data = lg_case
+    mesh = make_mesh(2, 4)
+    res = sharded_pmmh(model, params, data, 256, key, 40, mesh,
+                       proposal=perturb(0.01), approx=True)
+    assert res.lls.shape == (2, 40)
+    assert bool(jnp.isfinite(res.lls).all())
+    # in approx mode consecutive lls differ even without acceptance
+    # (refreshed estimate): with a tiny proposal some iterations reject,
+    # yet no two consecutive lls should be bit-identical
+    lls = np.asarray(res.lls)
+    assert (np.abs(np.diff(lls, axis=1)) > 0).mean() > 0.9
+
+
+def test_sharded_pmmh_resume_matches_monitored(tmp_path, lg_case, key):
+    """Chunked mesh chains with checkpoint/resume return the FULL
+    [n_chains, n_iters] chain, bit-consistent across the resume seam
+    (mesh tier of utils.streaming.pmmh_monitored)."""
+    from composablestatespacemodels_tpu.parallel import (
+        sharded_pmmh_monitored)
+
+    model, params, data = lg_case
+    mesh = make_mesh(2, 4)
+    path = str(tmp_path / "mesh_chain.npz")
+    res1 = sharded_pmmh_monitored(key, model, params, data, 256, 40, mesh,
+                                  proposal=perturb(0.01), chunk_size=20,
+                                  checkpoint_path=path, log_every=False)
+    assert res1.lls.shape == (2, 40)
+    res2 = sharded_pmmh_monitored(key, model, params, data, 256, 60, mesh,
+                                  proposal=perturb(0.01), chunk_size=20,
+                                  checkpoint_path=path, log_every=False)
+    assert res2.lls.shape == (2, 60)
+    np.testing.assert_allclose(np.asarray(res2.lls[:, :40]),
+                               np.asarray(res1.lls), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res2.accepted[:, :40]),
+                                  np.asarray(res1.accepted))
+    # cumulative acceptance nondecreasing across the seam, per chain
+    assert np.all(np.diff(np.asarray(res2.accepted), axis=1) >= 0)
+
+
+def test_sharded_adaptive_pmmh_recovers(lg_case, key):
+    """Adaptive two-phase mesh PMMH drives the observation-noise scale
+    to its posterior (8-device CPU mesh; VERDICT r3 #8 'done' gate)."""
+    from composablestatespacemodels_tpu.parallel import (
+        sharded_adaptive_pmmh)
+
+    model, params, data = lg_case
+    mesh = make_mesh(2, 4)
+    res, pilot = sharded_adaptive_pmmh(
+        model, params, data, 256, key, 120, mesh,
+        pilot_iters=80, pilot_delta=0.05, return_pilot=True)
+    assert pilot.lls.shape == (2, 80)
+    assert res.lls.shape == (2, 120)
+    assert bool(jnp.isfinite(res.lls).all())
+    # main chains move (nonzero acceptance with the adapted proposal)
+    rates = np.asarray(res.acceptance_rate())
+    assert (rates > 0).all(), rates
+    # posterior recovery: the (log) observation scale stays near truth
+    kept = res.thin(burn_in=40)
+    v = np.asarray(jax.tree_util.tree_leaves(kept.params)[0])
+    truth = float(jnp.log(0.5))
+    assert abs(np.mean(v) - truth) < 0.5, (np.mean(v), truth)
