@@ -347,7 +347,7 @@ def _make_save_fn_t(model: Model, store, interval: float,
 def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
                    n_particles: int, key, t0, x_init,
                    store, ess_threshold, interval: float,
-                   fused_propagate: bool = False):
+                   fused_propagate: bool = False, unroll: int = 1):
     """Transposed-layout scan: particles as [d, N] with the particle axis on
     TPU lanes, resampling via the Pallas merge-gather kernel with no
     per-step relayouts (an [N, d] <-> [d, N] transpose at N ~ 1e6 costs
@@ -473,7 +473,8 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
     init = (x_t, wn0, t_start, jnp.asarray(0.0, dtype),
             jnp.asarray(n, jnp.int32))
     (xf_t, _, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
-        step, init, (data.ts, data.ys, data.mask, keys, steps))
+        step, init, (data.ts, data.ys, data.mask, keys, steps),
+        unroll=unroll)
 
     summary = None
     path = None
@@ -488,7 +489,8 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
 
 def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
                          n_particles: int, key, t0, x_init,
-                         store, ess_threshold, interval: float):
+                         store, ess_threshold, interval: float,
+                         unroll: int = 1):
     """Transposed scan with resampling and the NEXT step's propagation fused
     into one Pallas kernel (``sorted_gather_resample_propagate_t``).
 
@@ -648,30 +650,37 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
     (xf_t, _, ll, _), (ll_hist, ess_hist) = jax.lax.scan(
         step, init,
         (ts, data.ys, data.mask, dt_next, t_next, y_next, m_next, keys,
-         steps))
+         steps), unroll=unroll)
     return FilterResult(ll, ll_hist, ess_hist, xf_t[:d].T, None, None)
 
 
 @partial(jax.jit,
          static_argnames=("model", "n_particles", "resample", "store",
-                          "ess_threshold", "interval"))
+                          "ess_threshold", "interval", "unroll"))
 def _filter_impl(model: Model, params: Tree, data: TimeSeries,
                  n_particles: int, key, t0, x_init,
-                 resample: str, store, ess_threshold, interval: float):
+                 resample: str, store, ess_threshold, interval: float,
+                 unroll: int = 1):
+    """``unroll``: forwarded to the per-step ``lax.scan`` -- at reference
+    PMMH shapes (N=100) the scan's ~3 us/step fixed overhead IS the
+    workload, and unrolling amortises it (VERDICT r3 #6; sweep recorded
+    in bench.py / docs/performance.md)."""
     if resample == "systematic-pallas":
         return _filter_impl_t(model, params, data, n_particles, key, t0,
-                              x_init, store, ess_threshold, interval)
+                              x_init, store, ess_threshold, interval,
+                              unroll=unroll)
     if resample == "systematic-pallas-fused":
         if store in ("ll", None):
             return _filter_impl_t_fused(model, params, data, n_particles,
                                         key, t0, x_init, store,
-                                        ess_threshold, interval)
+                                        ess_threshold, interval,
+                                        unroll=unroll)
         # store modes need the unpropagated resampled cloud, so the
         # propagate cannot fold into the resample kernel; it runs as a
         # standalone fused propagate(+weights) kernel instead
         return _filter_impl_t(model, params, data, n_particles, key, t0,
                               x_init, store, ess_threshold, interval,
-                              fused_propagate=True)
+                              fused_propagate=True, unroll=unroll)
     resample_fn = rs.get_scheme(resample)
     save_fn = _make_save_fn(model, store, interval,
                             weighted=ess_threshold is not None)
@@ -743,7 +752,7 @@ def _filter_impl(model: Model, params: Tree, data: TimeSeries,
     init = (particles, wn0, t_start, jnp.asarray(0.0, dtype),
             jnp.asarray(n, jnp.int32))
     (final_particles, _, _, ll, _), (saved, ll_hist, ess_hist) = jax.lax.scan(
-        step, init, (data.ts, data.ys, data.mask, keys))
+        step, init, (data.ts, data.ys, data.mask, keys), unroll=unroll)
 
     summary = None
     path = None
@@ -764,6 +773,7 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
                      store="summary",
                      ess_threshold: Optional[float] = None,
                      interval: float = 0.975,
+                     unroll: int = 1,
                      mesh=None, **mesh_kwargs) -> FilterResult:
     """Run the bootstrap particle filter over a time series.
 
@@ -795,6 +805,10 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
       ess_threshold: if set, resample only when ESS < threshold * N
         (the reference always resamples at an observation; this generalises).
       interval: credible-interval level for summaries.
+      unroll: per-step ``lax.scan`` unroll factor (single-device paths
+        only).  At reference PMMH shapes (N~100) the scan's fixed
+        per-step overhead dominates, and unrolling amortises it; at
+        large N it only bloats compile time.  Default 1.
       mesh: optional ``jax.sharding.Mesh`` with a
         :data:`~..parallel.mesh.PARTICLE_AXIS` axis: shard the particle
         cloud over it and run the multi-chip filter (distributed systematic
@@ -806,6 +820,8 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
     if mesh is not None:
         from ..parallel.sharded_filter import sharded_bootstrap_filter
 
+        if unroll != 1:
+            raise ValueError("unroll is single-device only (got mesh=)")
         if resample == "systematic-pallas-fused":
             # fused propagate on every shard; the distributed systematic
             # resample itself is unchanged
@@ -828,7 +844,8 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
     return _filter_impl(model=model, params=params, data=data,
                         n_particles=n_particles, key=key, t0=t0,
                         x_init=initial_state, resample=resample, store=store,
-                        ess_threshold=ess_threshold, interval=interval)
+                        ess_threshold=ess_threshold, interval=interval,
+                        unroll=unroll)
 
 
 def log_likelihood(model: Model, params: Tree, data: TimeSeries,

@@ -105,7 +105,8 @@ class PmmhResult:
 
 def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
                    resample: str = "systematic",
-                   store_state: bool = False) -> Callable:
+                   store_state: bool = False,
+                   unroll: int = 1) -> Callable:
     """Bundle a model + data into ``(key, params) -> ll``: the reference
     ``BootstrapFilter`` Reader (package.scala:23-24,
     ParticleFilter.filterLlState :346-348).
@@ -116,16 +117,21 @@ def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
     distribution at ``data.ts[-1]``, the reference ``filterLlState``'s
     sampled latent state (ParticleFilter.scala:346-357) that
     :func:`pmmh(store_state=True) <pmmh>` carries through the chain.
+
+    ``unroll`` forwards to the filter scan -- at the reference's N~100
+    the scan's fixed per-step cost dominates PMMH throughput (VERDICT r3
+    #6; sweep in docs/performance.md).
     """
 
     def pf_ll(key, params):
         return bootstrap_filter(model, params, data, n_particles, key,
-                                resample=resample, store="ll").ll
+                                resample=resample, store="ll",
+                                unroll=unroll).ll
 
     def pf_ll_state(key, params):
         k_pf, k_pick = jax.random.split(key)
         res = bootstrap_filter(model, params, data, n_particles, k_pf,
-                               resample=resample, store="ll")
+                               resample=resample, store="ll", unroll=unroll)
         i = jax.random.randint(k_pick, (), 0, n_particles)
         return res.ll, res.final_particles[i]
 
