@@ -37,6 +37,11 @@ def main():
                          "covariance -> MVN-eigen main chain "
                          "(Parameters.scala:111-123 + Utilities.scala:11-18 "
                          "workflow)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="run chains over a (chains x particles) device "
+                         "mesh (parallel.sharded_pmmh tier: each chain's "
+                         "filter shards its cloud over ICI); combines with "
+                         "--adaptive and --chains")
     add_common_args(ap)
     args = ap.parse_args()
     cfg = config_from_args(args)
@@ -70,7 +75,28 @@ def main():
 
     # posterior: chains via vmap, monitored single chain via host loop
     pf_ll = cssm.make_pf_loglik(model, data, cfg.n_particles, cfg.resample)
-    if args.chains > 1:
+    if args.mesh:
+        from composablestatespacemodels_tpu.parallel import (
+            make_mesh, sharded_adaptive_pmmh, sharded_pmmh_monitored)
+
+        n_dev = len(jax.devices())
+        n_chains = max(1, min(args.chains, n_dev))
+        mesh = make_mesh(n_chains, n_dev // n_chains)
+        if args.adaptive:
+            res = sharded_adaptive_pmmh(
+                model, params, data, cfg.n_particles, key, cfg.n_iters,
+                mesh, pilot_iters=max(200, cfg.n_iters // 4),
+                pilot_delta=args.delta)
+        else:
+            res = sharded_pmmh_monitored(
+                key, model, params, data, cfg.n_particles, cfg.n_iters,
+                mesh, proposal=perturb(args.delta), chunk_size=1000,
+                checkpoint_path=f"{cfg.out}_mesh_chain.npz")
+        for c in range(n_chains):
+            chain = jax.tree_util.tree_map(lambda x: x[c], res)
+            cio.write_posterior_json(f"{cfg.out}_posterior_{c}.json", chain)
+        print(f"acceptance rates: {res.acceptance_rate()}")
+    elif args.chains > 1:
         res = cssm.pmmh_chains(key, params, pf_ll, perturb(args.delta),
                                cfg.n_iters, args.chains)
         for c in range(args.chains):

@@ -86,3 +86,16 @@ def test_interpolate(tmp_path, monkeypatch):
     assert arr.shape == (50, 5)
     # knocked-out flags present
     assert (arr[:, 4] == 0).any() and (arr[:, 4] == 1).any()
+
+
+def test_determine_parameters_mesh(tmp_path, monkeypatch):
+    """--mesh routes through the sharded chain tier (8 virtual devices)."""
+    out = str(tmp_path / "d")
+    run_example("simulate.py", ["model", "--n-obs", "30", "--out", out],
+                monkeypatch)
+    run_example("determine_parameters.py",
+                ["posterior", out + "_sims.json", "--n-iters", "20",
+                 "--n-particles", "64", "--chains", "2", "--mesh",
+                 "--out", str(tmp_path / "m")], monkeypatch)
+    post = str(tmp_path / "m") + "_posterior_1.json"
+    assert len(open(post).read().strip().split("\n")) == 20
