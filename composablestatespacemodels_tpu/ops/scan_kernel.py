@@ -186,6 +186,112 @@ def _counts_kernel(u_ref, w_ref, out_ref, carryf_ref, carrym_ref, *,
     carrym_ref[0, 0] = jnp.max(out)
 
 
+def _counts_kernel_packed(u_ref, w_ref, out_ref, *, n: int, ri: int,
+                          li: int, rows_per: int):
+    """Batched fused counts with MANY chains packed into one grid step.
+
+    The custom_vmap rule's (B, 1) sequential grid launches one tiny
+    [rows_per, 128] block per chain -- at the reference PMMH shape
+    (N=100, 256 vmapped chains) those 256 serial grid steps dominated
+    the whole chain step (measured: 760 aggregate chain-iters/s vs 1615
+    with plain XLA ops).  Here chains are stacked along rows
+    (chain b = rows [b*rows_per, (b+1)*rows_per)) and the row-carry
+    matmul / running-max masks are BLOCK-DIAGONAL in the chain, so one
+    [R, 128] grid step serves R/rows_per chains with no cross-chain or
+    cross-block carries.
+
+    Bit-identical to the per-chain solo kernel (``_counts_kernel`` at
+    g == 0): the lane-prefix matmul is per-row; the block-diagonal
+    carry matmul adds the same nonzero terms plus exact zeros; the
+    normalising divide moves to the caller (same IEEE op elementwise);
+    the within-chain cummax runs the same Hillis-Steele shifts under
+    chain-local masks.  ``u_ref`` carries each chain's uniform draw
+    lane-replicated in its rows; ``(ri, li)`` is the chain-local
+    (row, lane) of global element m-1.
+    """
+    x = w_ref[...]                                   # [R, 128] normalised
+    r = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    upper = (row <= col).astype(jnp.float32)
+    p = jax.lax.dot(x, upper, precision=jax.lax.Precision.HIGHEST)
+    rowtot = p[:, _LANE - 1:_LANE]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    lower = ((rr > cc) & (rr // rows_per == cc // rows_per)
+             ).astype(jnp.float32)
+    carry_rows = jax.lax.dot(lower, rowtot,
+                             precision=jax.lax.Precision.HIGHEST)
+    cdf = p + carry_rows
+
+    nf = jnp.float32(n)
+    c = jnp.clip(jnp.ceil(nf * cdf - u_ref[...]), 0.0, nf).astype(jnp.int32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    crow = rowi % rows_per                           # chain-local row
+    is_last = (crow == ri) & (lane == li)
+    c = jnp.where(is_last, jnp.int32(n), c)
+
+    # within-chain running max (chain-local masks; no external carry --
+    # 0 is the identity for nonnegative counts, as the solo g==0 block)
+    m = c
+    d = 1
+    while d < _LANE:                                 # lane-direction
+        m = jnp.maximum(m, jnp.where(lane >= d, pltpu.roll(m, d, 1), 0))
+        d *= 2
+    mm = m
+    d = 1
+    while d < rows_per:                              # chain-local rows
+        mm = jnp.maximum(
+            mm, jnp.where(crow >= d, pltpu.roll(mm, d, 0), 0))
+        d *= 2
+    e = jnp.where(crow >= 1, pltpu.roll(mm, 1, 0), 0)
+    d = 1
+    while d < _LANE:
+        e = jnp.maximum(
+            e, jnp.where(lane < _LANE - d, pltpu.roll(e, _LANE - d, 1), 0))
+        d *= 2
+    out_ref[...] = jnp.maximum(m, e)
+
+
+def _counts_packed_call(kernel_n: int, last_pos, rows_per: int,
+                        scal, x, interpret: bool):
+    """Launch the packed batched counts kernel over [B, rows_per, 128].
+
+    Normalises in XLA (bit-same IEEE divide the solo kernel does
+    in-VMEM), replicates each chain's uniform draw over its rows, packs
+    chains-per-superblock to keep grid steps near [256, 128], and pads
+    the batch with dummy chains (w=1, u=0) that are sliced off.
+    """
+    b = x.shape[0]
+    total = scal[:, 0:1, :]                          # [B, 1, 128]
+    u = scal[:, 1:2, :]
+    xn = x / total
+    cpb = max(1, 256 // rows_per)                    # chains per superblock
+    pad = (-b) % cpb
+    if pad:
+        xn = jnp.concatenate(
+            [xn, jnp.ones((pad,) + xn.shape[1:], xn.dtype)])
+        u = jnp.concatenate([u, jnp.zeros((pad,) + u.shape[1:], u.dtype)])
+    bp = b + pad
+    rows = bp * rows_per
+    xr = xn.reshape(rows, _LANE)
+    ur = jnp.broadcast_to(u, (bp, rows_per, _LANE)).reshape(rows, _LANE)
+    sup = cpb * rows_per
+    _, ri, li = last_pos
+    out = pl.pallas_call(
+        partial(_counts_kernel_packed, n=kernel_n, ri=ri, li=li,
+                rows_per=rows_per),
+        grid=(rows // sup,),
+        in_specs=[pl.BlockSpec((sup, _LANE), lambda g: (g, 0)),
+                  pl.BlockSpec((sup, _LANE), lambda g: (g, 0))],
+        out_specs=pl.BlockSpec((sup, _LANE), lambda g: (g, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.int32),
+        interpret=interpret,
+    )(ur, xr)
+    return out.reshape(bp, rows_per, _LANE)[:b]
+
+
 def _eff_block_rows(n: int, block_rows: int) -> int:
     """Clamp the row-block size to the (8-aligned) rows the input needs.
 
@@ -303,6 +409,21 @@ def _counts_core(n: int, last_pos, block_rows: int, interpret: bool):
             scal = jnp.broadcast_to(scal[None], (axis_size,) + scal.shape)
         if not in_batched[1]:
             x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        rows_per = x.shape[-2]
+        if rows_per == block_rows and 128 % rows_per == 0 and not interpret:
+            # single-block chains (the reference PMMH shape): pack many
+            # chains into each grid step instead of a (B, 1) sequential
+            # grid whose per-chain launches dominate (measured 2x on
+            # pmmh_chains; see _counts_kernel_packed).  128 % rows_per == 0
+            # keeps every chain inside one 128-wide MXU contraction pass,
+            # which is what makes the block-diagonal carry matmul
+            # bit-equal to the solo kernel's (sequential systolic
+            # accumulation + exact zero terms); interpret mode's CPU dot
+            # groups f32 sums differently (observed ulp cdf flips), so
+            # CPU testing keeps the sequential grid and the packed path
+            # is bit-gated on chip (tests_tpu).
+            return _counts_packed_call(n, last_pos, rows_per, scal, x,
+                                       interpret), True
         return _scan_like_call(kernel, x, block_rows, jnp.int32, scratch,
                                interpret,
                                extra_in=[(scal, (8, _LANE))]), True

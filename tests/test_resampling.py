@@ -207,3 +207,38 @@ def test_residual_multiset_parity_tpu_vs_lookup(key):
     assert (np.abs(f_tpu - expected) < 6 * se).all(), (f_tpu, expected)
     assert (np.abs(f_cpu - expected) < 6 * se).all(), (f_cpu, expected)
     assert (np.abs(f_tpu - f_cpu) < 8 * se).all()
+
+
+def test_fused_counts_packed_batch_matches_solo(key):
+    """The packed batched counts kernel (chains stacked along rows with
+    block-diagonal carries -- the pmmh_chains fast path) in interpret
+    mode: valid monotone counts within one ulp-flip of the per-chain
+    solo kernel.  Exact bit-equality holds only on the real MXU
+    (sequential systolic accumulation; CPU dots group f32 sums
+    differently), so the bit gate lives in tests_tpu."""
+    from composablestatespacemodels_tpu.ops.scan_kernel import (
+        _counts_packed_call, _eff_block_rows, _pad_rows,
+        systematic_counts_fused)
+
+    for m, b in [(100, 37), (1024, 3), (4096, 5)]:
+        k = jax.random.fold_in(key, m + b)
+        w = jax.random.uniform(k, (b, m)) + 0.01
+        tot = jnp.sum(w, axis=1)
+        u = jax.random.uniform(jax.random.fold_in(k, 1), (b,))
+        rows = _eff_block_rows(m, 256)
+        x = jnp.stack([_pad_rows(w[i], rows, jnp.float32) for i in range(b)])
+        scal = jnp.zeros((b, 8, 128), jnp.float32)
+        scal = scal.at[:, 0, :].set(tot[:, None])
+        scal = scal.at[:, 1, :].set(u[:, None])
+        tile = 128 * rows
+        last = ((m - 1) // tile, ((m - 1) % tile) // 128, (m - 1) % 128)
+        packed = _counts_packed_call(m, last, rows, scal, x, interpret=True)
+        packed = packed.reshape(b, -1)[:, :m]
+        solo = jnp.stack([
+            systematic_counts_fused(w[i], tot[i], u[i], interpret=True)
+            for i in range(b)])
+        c = np.asarray(packed)
+        assert (np.diff(c, axis=1) >= 0).all() and (c[:, -1] == m).all()
+        diff = np.abs(c - np.asarray(solo))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01, \
+            f"m={m} b={b}: max {diff.max()} frac {(diff > 0).mean()}"

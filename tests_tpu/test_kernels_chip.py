@@ -182,3 +182,21 @@ def test_standalone_propagate_noise_moments(key):
     z2 = np.asarray(propagate_weights_t(
         x_t, coef, jnp.int32([322]), block=2048)).ravel()
     assert abs(np.corrcoef(z, z2)[0, 1]) < 5e-3
+
+
+def test_fused_counts_vmap_packed_pmmh_shape(key):
+    """The packed batched counts kernel at the reference PMMH shape
+    (m=100 -> 8-row chains, 32 chains/superblock, odd batch exercising
+    dummy-chain padding) must bit-match per-chain solo calls ON CHIP --
+    the path pmmh_chains rides (2x throughput win, round 4)."""
+    b, m = 37, 100
+    w = jax.random.uniform(key, (b, m), jnp.float32) + 1e-3
+    tot = jnp.sum(w, axis=1)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (b,), jnp.float32)
+    batched = jax.jit(jax.vmap(
+        lambda wi, ti, ui: systematic_counts_fused(wi, ti, ui)))(w, tot, u)
+    assert batched.shape == (b, m)
+    for i in range(0, b, 5):
+        solo = systematic_counts_fused(w[i], tot[i], u[i])
+        np.testing.assert_array_equal(np.asarray(batched[i]),
+                                      np.asarray(solo), err_msg=f"row {i}")
