@@ -315,6 +315,41 @@ def bench_pmmh_chains(n_chains: int = 256, n_particles: int = 100,
     return rate
 
 
+def bench_pmmh_chains_fused(n_chains: int = 256, n_particles: int = 100,
+                            n_obs: int = 400, n_iters: int = 100) -> float:
+    """Secondary recorded metric: aggregate chains x iterations/sec with
+    the FUSED sweep kernel (ops/sweep_kernel.pf_sweep_chains) -- every
+    chain's full T-step filter runs in one Pallas launch per MH
+    iteration instead of a vmapped XLA scan (round-4 addition; see
+    docs/performance.md for the measured ladder)."""
+    from composablestatespacemodels_tpu.models import perturb
+
+    model, params = flagship_model()
+    sim = cssm.simulate_regular(model, params, jax.random.PRNGKey(0), n_obs,
+                                dt=1.0)
+    data = sim.to_timeseries()
+    pf_all = cssm.make_pf_loglik_chains(model, data, n_particles)
+    key = jax.random.key(0, impl="rbg")
+
+    def run(k):
+        return cssm.pmmh_chains(k, params, None, perturb(0.05), n_iters,
+                                n_chains, pf_ll_chains=pf_all).lls[:, -1]
+
+    float(jnp.sum(run(key)))
+    best = float("inf")
+    for i in range(2):
+        k = jax.random.fold_in(key, i + 1)
+        t0 = time.perf_counter()
+        float(jnp.sum(run(k)))
+        best = min(best, time.perf_counter() - t0)
+    rate = n_chains * n_iters / best
+    print(f"PMMH chains (fused sweep): {rate:.1f} aggregate chain-iters/s "
+          f"at {n_chains} chains x N={n_particles}, T={n_obs} "
+          f"({rate * n_particles * n_obs:.2e} particle-steps/s inside MCMC)",
+          file=sys.stderr)
+    return rate
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes")
@@ -352,6 +387,8 @@ def main():
         result["pmmh_iters_per_sec"] = round(bench_pmmh(), 1)
         result["pmmh_chains_aggregate_iters_per_sec"] = round(
             bench_pmmh_chains(), 1)
+        result["pmmh_chains_fused_sweep_iters_per_sec"] = round(
+            bench_pmmh_chains_fused(), 1)
         result["sharded_particle_steps_per_sec"] = round(bench_sharded(n))
     print(json.dumps(result))
 

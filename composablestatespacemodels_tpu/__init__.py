@@ -21,7 +21,8 @@ from . import inference, models, native, utils
 from .inference import (adaptive_pmmh, bootstrap_filter, forecast,
                         forecast_from_posterior, forecast_times,
                         interpolation_filter, kalman_filter, lgcp_filter,
-                        log_likelihood, make_pf_loglik, pilot_run,
+                        log_likelihood, make_pf_loglik,
+                        make_pf_loglik_chains, pilot_run,
                         pmmh_chains)
 from .inference.pmmh import pmmh
 from .models import (bernoulli, beta, branch, brownian_motion, brownian_params,
@@ -41,7 +42,8 @@ __all__ = [
     "bootstrap_filter", "log_likelihood", "kalman_filter", "forecast",
     "forecast_times", "forecast_from_posterior", "lgcp_filter",
     "interpolation_filter",
-    "pmmh", "pmmh_chains", "adaptive_pmmh", "make_pf_loglik", "pilot_run",
+    "pmmh", "pmmh_chains", "adaptive_pmmh", "make_pf_loglik",
+    "make_pf_loglik_chains", "pilot_run",
     "TimeSeries", "SimulatedData", "simulate", "simulate_regular",
     "simulate_lgcp",
 ]

@@ -138,6 +138,61 @@ def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
     return pf_ll_state if store_state else pf_ll
 
 
+def make_pf_loglik_chains(model: Model, data: TimeSeries, n_particles: int,
+                          interpret: bool = False) -> Callable:
+    """Batched-chains log-likelihood via the fused sweep kernel.
+
+    Returns ``(key, params_batched) -> ll [B]`` evaluating EVERY chain's
+    full bootstrap-filter sweep in ONE Pallas launch
+    (:func:`..ops.sweep_kernel.pf_sweep_chains`) -- the TPU-native form
+    of the reference's per-chain ``BootstrapFilter`` Reader
+    (package.scala:23-24) at MCMC shapes.  Statistically equivalent to
+    ``vmap`` of :func:`make_pf_loglik`'s callable (different PRNG
+    streams); requires f32, ``n_particles <= 128``, exact-transition
+    SDEs and an observation family with the ``kernel_log_density`` hook.
+    Feed to :func:`pmmh_chains` as ``pf_ll_chains=``.
+    """
+    from ..ops.sweep_kernel import pf_sweep_chains
+    from .filter import _seed_base
+
+    wspec = model.obs.kernel_log_density()
+    if wspec is None:
+        raise ValueError(
+            f"{type(model.obs).__name__} has no kernel_log_density hook")
+    make_consts, _ = wspec
+    sde = model.sde
+    ts = data.ts
+    dts = jnp.concatenate([jnp.zeros((1,), ts.dtype), ts[1:] - ts[:-1]])
+    design = jax.vmap(model.design_vector)(ts)          # [T, d]
+    y_safe = jnp.where(data.mask, data.ys, 0.0)
+
+    def pf_ll_all(key, params_b):
+        k_init, k_seed = jax.random.split(key)
+        sp_b = jax.vmap(model.sde_params)(params_b)
+
+        def coefs_for_dt(dt):
+            def one(sp):
+                a, b, q = sde.transition_coeffs(sp, dt)
+                return jnp.stack([a, b, jnp.sqrt(q)], axis=-1)
+            return jax.vmap(one)(sp_b)
+
+        coef = jax.vmap(coefs_for_dt)(dts)              # [T, B, d, 3]
+        scale_b = jax.vmap(model.obs_scale)(params_b)   # [B]
+        wconsts = jax.vmap(lambda y: jax.vmap(
+            lambda s: make_consts(y, s))(scale_b))(y_safe)   # [T, B, K]
+        n_chains = jax.tree_util.tree_leaves(params_b)[0].shape[0]
+        x0 = jax.vmap(
+            lambda p, k: model.initial_state_t(p, k, n_particles))(
+                params_b, jax.random.split(k_init, n_chains))  # [B, d, n]
+        seed = _seed_base(k_seed)
+        ll, _ = pf_sweep_chains(x0, coef, design, wconsts, data.mask, seed,
+                                weight_family=model.obs,
+                                interpret=interpret)
+        return ll
+
+    return pf_ll_all
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class PmmhState:
@@ -278,10 +333,25 @@ def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
                 prior: Callable = flat_prior,
                 log_transition: Callable = symmetric_transition,
                 approx: bool = False,
-                store_state: bool = False) -> PmmhResult:
+                store_state: bool = False,
+                pf_ll_chains: Optional[Callable] = None) -> PmmhResult:
     """Run several independent chains with ``vmap`` (the TPU-native
     replacement for the reference's ``mapAsync(2)`` thread parallelism,
-    DetermineParameters.scala:68-69).  Outputs gain a leading chain axis."""
+    DetermineParameters.scala:68-69).  Outputs gain a leading chain axis.
+
+    ``pf_ll_chains``: optional batched evaluator ``(key, params_batched)
+    -> ll [n_chains]`` (see :func:`make_pf_loglik_chains`) -- all chains'
+    filter sweeps run in ONE fused Pallas kernel instead of a vmapped
+    per-chain scan, removing the per-step launch overhead that binds the
+    vmapped path at MCMC shapes.  ``pf_ll`` is ignored when given;
+    ``store_state`` is unsupported on this path.
+    """
+    if pf_ll_chains is not None:
+        if store_state:
+            raise ValueError("store_state is unsupported with pf_ll_chains")
+        return _pmmh_chains_fused(key, init_params, pf_ll_chains, proposal,
+                                  n_iters, n_chains, prior, log_transition,
+                                  approx)
     keys = jax.random.split(key, n_chains)
 
     @partial(jax.jit, static_argnames=())
@@ -295,6 +365,57 @@ def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
         return jax.vmap(one)(keys)
 
     return run_all(keys, init_params)
+
+
+@partial(jax.jit, static_argnames=("pf_ll_chains", "proposal", "prior",
+                                   "log_transition", "n_iters", "n_chains",
+                                   "approx"))
+def _pmmh_chains_fused(key, init_params, pf_ll_chains, proposal, n_iters,
+                       n_chains, prior, log_transition, approx):
+    """Batched MH scan: the proposal/accept step is vmapped XLA (tiny),
+    the likelihood of ALL chains comes from one fused sweep per iteration."""
+    ftype = jnp.result_type(float)
+    params0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                   (n_chains,) + jnp.shape(x)), init_params)
+
+    def mh_step(carry, inp):
+        params_b, ll_b, acc_b = carry
+        k, i = inp
+        k_prop, k_pf, k_pf_old, k_u = jax.random.split(k, 4)
+        prop_b = jax.vmap(proposal)(jax.random.split(k_prop, n_chains),
+                                    params_b)
+        ll_prop = pf_ll_chains(k_pf, prop_b)
+        if approx:
+            ll_cur = pf_ll_chains(k_pf_old, params_b)
+        else:
+            ll_cur = ll_b
+        a = (ll_prop + jax.vmap(log_transition)(prop_b, params_b)
+             + jax.vmap(prior)(prop_b)
+             - jax.vmap(log_transition)(params_b, prop_b) - ll_cur
+             - jax.vmap(prior)(params_b))
+        accept = (jnp.log(jax.random.uniform(k_u, (n_chains,), ftype)) < a)
+
+        def sel(x, y):
+            acc_shape = (n_chains,) + (1,) * (x.ndim - 1)
+            return jnp.where(accept.reshape(acc_shape), y, x)
+
+        new_params = jax.tree_util.tree_map(sel, params_b, prop_b)
+        new_ll = jnp.where(accept, ll_prop, ll_cur)
+        new_acc = acc_b + accept.astype(jnp.int32)
+        carry1 = (new_params, new_ll, new_acc)
+        return carry1, carry1
+
+    keys = jax.random.split(key, n_iters)
+    init = (params0, jnp.full((n_chains,), _INIT_LL, ftype),
+            jnp.zeros((n_chains,), jnp.int32))
+    _, (ps, lls, accs) = jax.lax.scan(
+        mh_step, init, (keys, jnp.arange(n_iters)))
+    # stacked [iters, chains, ...] -> [chains, iters, ...] (the vmapped
+    # path's layout)
+    swap = lambda x: jnp.swapaxes(x, 0, 1)
+    return PmmhResult(jax.tree_util.tree_map(swap, ps), swap(lls),
+                      swap(accs))
 
 
 def adaptive_pmmh(key, init_params: Tree, pf_ll: Callable, n_iters: int, *,

@@ -1,0 +1,188 @@
+"""Fused small-N PF sweep kernel (ops/sweep_kernel) -- structural tests.
+
+Interpret-mode Pallas PRNG yields zeros, so these tests pin the
+DETERMINISTIC structure bit-exactly: z == 0 propagation, weighting,
+ll accumulation, and the in-lane systematic resample (counts, bisection
+ancestors, gather) against a step-by-step jnp replica using the same
+roll-tree reductions.  Noise statistics and XLA-filter agreement are
+gated on chip (tests_tpu/test_sweep_chip.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from composablestatespacemodels_tpu.ops.sweep_kernel import (_LANE,
+                                                             pf_sweep_chains)
+from composablestatespacemodels_tpu.models.observation import (Gaussian,
+                                                               Poisson)
+
+
+def _roll_reduce(x, op):
+    acc = x
+    d = 1
+    while d < _LANE:
+        acc = op(acc, jnp.roll(acc, -d, axis=1))
+        d *= 2
+    return acc
+
+
+def _ref_sweep(x0, coef, design, wconsts, mask, weight_fn, n):
+    """jnp replica of the kernel recursion with s = 0, ud = 2^-25."""
+    b, d, _ = x0.shape
+    lane = jnp.arange(_LANE)[None, :]
+    valid = lane < n
+    x = jnp.concatenate(
+        [x0, jnp.zeros((b, d, _LANE - n), x0.dtype)], axis=2)
+    ll = jnp.zeros((b,))
+    row = jnp.arange(_LANE)[:, None]
+    upper = ((row <= jnp.arange(_LANE)[None, :]) & (row < n)).astype(
+        jnp.float32)
+    ud = jnp.float32(2.0 ** -25)
+
+    class C:
+        def __init__(self, tile):
+            self.t = tile
+
+        def __getitem__(self, k):
+            return self.t[:, k:k + 1]
+
+    for t in range(coef.shape[0]):
+        a = coef[t, :, :, 0][:, :, None]
+        bb = coef[t, :, :, 1][:, :, None]
+        x = a * x + bb  # z == 0 in interpret mode
+        mf = jnp.float32(mask[t])
+        gamma = jnp.einsum("k,bkl->bl", design[t], x)
+        logw = weight_fn(gamma, C(wconsts[t])) * mf
+        logw = jnp.where(valid, logw, -1e30)
+        maxw = _roll_reduce(logw, jnp.maximum)
+        u = jnp.where(valid, jnp.exp(logw - maxw), 0.0)
+        total = _roll_reduce(u, jnp.add)
+        ll = ll + ((maxw + jnp.log(total))[:, 0] - np.log(n)) * mf
+        wn = u / total
+        cdf = jax.lax.dot(wn, upper, precision=jax.lax.Precision.HIGHEST)
+        counts = jnp.clip(jnp.ceil(n * cdf - ud), 0.0, n).astype(jnp.int32)
+        counts = jnp.where(lane == n - 1, n, counts)
+        m = counts
+        dd = 1
+        while dd < _LANE:
+            m = jnp.maximum(m, jnp.where(lane >= dd,
+                                         jnp.roll(m, dd, axis=1), 0))
+            dd *= 2
+        counts = m
+        idx = jnp.zeros((b, _LANE), jnp.int32)
+        s = 64
+        while s >= 1:
+            cand = idx + s
+            probe = jnp.minimum(cand - 1, _LANE - 1)
+            val = jnp.take_along_axis(counts, probe, axis=1)
+            idx = jnp.where((cand <= _LANE) & (val <= lane), cand, idx)
+            s //= 2
+        anc = jnp.minimum(idx, n - 1)
+        x = jnp.take_along_axis(x, anc[:, None, :], axis=2)
+    return ll, x[:, :, :n]
+
+
+@pytest.mark.parametrize("n,d,b", [(100, 1, 8), (64, 3, 16), (128, 7, 8)])
+def test_sweep_matches_replica_bitwise(key, n, d, b):
+    t_steps = 7
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x0 = jax.random.normal(k1, (b, d, n), jnp.float32)
+    # s == 0: interpret-mode PRNG bits are zeros, which Box-Muller maps
+    # to a NONZERO constant (r*cos(0) ~ 5.89) -- only the zero-noise
+    # structure is replicable off-chip (same convention as the fused
+    # resample-kernel tests)
+    coef = jnp.stack([
+        0.9 + 0.1 * jax.random.uniform(k2, (t_steps, b, d)),
+        0.1 * jax.random.normal(k3, (t_steps, b, d)),
+        jnp.zeros((t_steps, b, d))], axis=-1)
+    design = jax.random.normal(k4, (t_steps, d), jnp.float32)
+    fam = Gaussian()
+    make_consts, weight_fn = fam.kernel_log_density()
+    ys = jnp.linspace(-1.0, 1.0, t_steps)
+    scales = 0.5 + jnp.arange(b, dtype=jnp.float32) / b
+    wconsts = jax.vmap(lambda y: jax.vmap(
+        lambda s: make_consts(y, s))(scales))(ys)
+    mask = np.ones((t_steps,), bool)
+    mask[3] = False
+
+    with pltpu.force_tpu_interpret_mode():
+        ll, xf = pf_sweep_chains(x0, coef, design, wconsts,
+                                 jnp.asarray(mask),
+                                 jnp.asarray([7], jnp.int32),
+                                 weight_family=fam)
+    ll_ref, xf_ref = _ref_sweep(np.asarray(x0), np.asarray(coef),
+                                np.asarray(design), np.asarray(wconsts),
+                                mask, weight_fn, n)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=1e-6, atol=1e-5)
+    # xf agrees to FMA-fusion ulps (the jitted kernel contracts a*x+b
+    # differently than the eager replica); an indexing bug would show as
+    # O(1) mismatches, not 1e-7
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xf_ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_sweep_masked_steps_contribute_zero(key):
+    """All-masked sweep: ll == 0 exactly; the resample under uniform
+    weights only ever duplicates within the propagated cloud (cdf ulps
+    can flip a count, so exact identity is not guaranteed -- membership
+    is)."""
+    b, d, n, t_steps = 8, 2, 100, 5
+    x0 = jax.random.normal(key, (b, d, n), jnp.float32)
+    coef = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.5, 0.0], jnp.float32), (t_steps, b, d, 3))
+    design = jnp.ones((t_steps, d), jnp.float32)
+    fam = Poisson()
+    make_consts, _ = fam.kernel_log_density()
+    wconsts = jnp.broadcast_to(make_consts(jnp.asarray(0.0), 1.0),
+                               (t_steps, b, 2))
+    mask = jnp.zeros((t_steps,), bool)
+    with pltpu.force_tpu_interpret_mode():
+        ll, xf = pf_sweep_chains(x0, coef, design, wconsts, mask,
+                                 jnp.asarray([1], jnp.int32),
+                                 weight_family=fam)
+    np.testing.assert_array_equal(np.asarray(ll), np.zeros((b,)))
+    want = np.asarray(x0) + t_steps * 0.5
+    got = np.asarray(xf)
+    for bi in range(b):
+        for di in range(d):
+            assert np.isin(np.round(got[bi, di], 4),
+                           np.round(want[bi, di], 4)).all(), (bi, di)
+
+
+def test_make_pf_loglik_chains_end_to_end(key):
+    """Front-end: batched-chains loglik on the composed flagship-style
+    model runs in interpret mode and returns finite per-chain lls, and
+    pmmh_chains(pf_ll_chains=) drives a short batched MH scan."""
+    import composablestatespacemodels_tpu as cssm
+    from composablestatespacemodels_tpu.models import (branch, leaf,
+                                                       ou_params,
+                                                       param_node, perturb)
+
+    model = cssm.poisson(cssm.ou_process(1)) + cssm.seasonal(
+        6, 1, cssm.ou_process(2))
+    params = branch(
+        leaf(param_node(None, ou_params(1.0, 0.2, 0.3, 1.0, 0.3))),
+        leaf(param_node(None, ou_params(0.2, 0.2, 0.25, 0.2, 0.2))))
+    sim = cssm.simulate_regular(model, params, jax.random.PRNGKey(0), 12,
+                                dt=1.0)
+    data = sim.to_timeseries()
+    pf_all = cssm.make_pf_loglik_chains(model, data, 64)
+    params_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                   (8,) + jnp.shape(x)), params)
+    with pltpu.force_tpu_interpret_mode():
+        ll = pf_all(key, params_b)
+    assert ll.shape == (8,)
+    assert bool(jnp.isfinite(ll).all())
+
+    with pltpu.force_tpu_interpret_mode():
+        res = cssm.pmmh_chains(key, params, None, perturb(0.02), 5, 8,
+                               pf_ll_chains=pf_all)
+    assert res.lls.shape == (8, 5)
+    assert bool(jnp.isfinite(res.lls).all())
+    assert res.accepted.shape == (8, 5)
