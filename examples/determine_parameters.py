@@ -37,6 +37,11 @@ def main():
                          "covariance -> MVN-eigen main chain "
                          "(Parameters.scala:111-123 + Utilities.scala:11-18 "
                          "workflow)")
+    ap.add_argument("--fused-sweep", action="store_true",
+                    help="evaluate all chains' likelihoods with the fused "
+                         "PF sweep kernel (ops/sweep_kernel; TPU, "
+                         "n_particles <= 128, exact-transition models) -- "
+                         "the fast path for --chains at MCMC shapes")
     ap.add_argument("--mesh", action="store_true",
                     help="run chains over a (chains x particles) device "
                          "mesh (parallel.sharded_pmmh tier: each chain's "
@@ -97,8 +102,11 @@ def main():
             cio.write_posterior_json(f"{cfg.out}_posterior_{c}.json", chain)
         print(f"acceptance rates: {res.acceptance_rate()}")
     elif args.chains > 1:
+        pf_all = (cssm.make_pf_loglik_chains(model, data, cfg.n_particles)
+                  if args.fused_sweep else None)
         res = cssm.pmmh_chains(key, params, pf_ll, perturb(args.delta),
-                               cfg.n_iters, args.chains)
+                               cfg.n_iters, args.chains,
+                               pf_ll_chains=pf_all)
         for c in range(args.chains):
             chain = jax.tree_util.tree_map(lambda x: x[c], res)
             cio.write_posterior_json(f"{cfg.out}_posterior_{c}.json", chain)
