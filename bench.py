@@ -315,6 +315,36 @@ def bench_pmmh_chains(n_chains: int = 256, n_particles: int = 100,
     return rate
 
 
+def bench_pmmh_fused(n_particles: int = 100, n_obs: int = 400,
+                     n_iters: int = 300) -> float:
+    """Secondary recorded metric: single-chain PMMH iterations/sec with
+    the fused sweep likelihood (make_pf_loglik(fused_sweep=True): the
+    whole T-step filter in one kernel launch per iteration; measured 3x
+    the XLA-scan path at the reference shape)."""
+    from composablestatespacemodels_tpu.models import perturb
+
+    model, params = flagship_model()
+    sim = cssm.simulate_regular(model, params, jax.random.PRNGKey(0), n_obs,
+                                dt=1.0)
+    pf_ll = cssm.make_pf_loglik(model, sim.to_timeseries(), n_particles,
+                                fused_sweep=True)
+    key = jax.random.key(0, impl="rbg")
+
+    def run(k):
+        return cssm.pmmh(k, params, pf_ll, perturb(0.05), n_iters).lls[-1]
+
+    float(run(key))
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        float(run(jax.random.fold_in(key, i + 1)))
+        best = min(best, time.perf_counter() - t0)
+    rate = n_iters / best
+    print(f"PMMH (fused sweep): {rate:.1f} iters/s at N={n_particles}, "
+          f"T={n_obs}", file=sys.stderr)
+    return rate
+
+
 def bench_pmmh_chains_fused(n_chains: int = 256, n_particles: int = 100,
                             n_obs: int = 400, n_iters: int = 100) -> float:
     """Secondary recorded metric: aggregate chains x iterations/sec with
@@ -387,6 +417,8 @@ def main():
         result["pmmh_iters_per_sec"] = round(bench_pmmh(), 1)
         result["pmmh_chains_aggregate_iters_per_sec"] = round(
             bench_pmmh_chains(), 1)
+        result["pmmh_fused_sweep_iters_per_sec"] = round(bench_pmmh_fused(),
+                                                         1)
         result["pmmh_chains_fused_sweep_iters_per_sec"] = round(
             bench_pmmh_chains_fused(), 1)
         result["sharded_particle_steps_per_sec"] = round(bench_sharded(n))

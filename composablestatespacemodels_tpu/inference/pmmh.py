@@ -106,7 +106,8 @@ class PmmhResult:
 def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
                    resample: str = "systematic",
                    store_state: bool = False,
-                   unroll: int = 1) -> Callable:
+                   unroll: int = 1,
+                   fused_sweep: bool = False) -> Callable:
     """Bundle a model + data into ``(key, params) -> ll``: the reference
     ``BootstrapFilter`` Reader (package.scala:23-24,
     ParticleFilter.filterLlState :346-348).
@@ -121,7 +122,27 @@ def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
     ``unroll`` forwards to the filter scan -- at the reference's N~100
     the scan's fixed per-step cost dominates PMMH throughput (VERDICT r3
     #6; sweep in docs/performance.md).
+
+    ``fused_sweep`` evaluates the likelihood through the fused PF sweep
+    kernel (:mod:`..ops.sweep_kernel`; TPU, n_particles <= 128,
+    exact-transition models, kernel-hook families): the whole T-step
+    filter runs in ONE Pallas launch (minimum batch of 8 lane-width
+    chains, the requested chain in row 0) -- ~2x single-chain PMMH
+    throughput; use :func:`make_pf_loglik_chains` +
+    ``pmmh_chains(pf_ll_chains=)`` when running many chains.
     """
+    if fused_sweep:
+        if store_state:
+            raise ValueError("fused_sweep does not support store_state")
+        pf_all = make_pf_loglik_chains(model, data, n_particles)
+
+        def pf_ll_sweep(key, params):
+            params_b = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                           (8,) + jnp.shape(x)), params)
+            return pf_all(key, params_b)[0]
+
+        return pf_ll_sweep
 
     def pf_ll(key, params):
         return bootstrap_filter(model, params, data, n_particles, key,

@@ -186,3 +186,25 @@ def test_make_pf_loglik_chains_end_to_end(key):
     assert res.lls.shape == (8, 5)
     assert bool(jnp.isfinite(res.lls).all())
     assert res.accepted.shape == (8, 5)
+
+
+def test_make_pf_loglik_fused_sweep_single_chain(key):
+    """make_pf_loglik(fused_sweep=True): scalar ll per call, drivable by
+    the single-chain pmmh loop."""
+    import composablestatespacemodels_tpu as cssm
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters, perturb)
+
+    model = cssm.linear(brownian_motion(1))
+    p0 = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = cssm.simulate_regular(model, p0, jax.random.PRNGKey(0), 10, dt=0.5)
+    pf_ll = cssm.make_pf_loglik(model, sim.to_timeseries(), 64,
+                                fused_sweep=True)
+    with pltpu.force_tpu_interpret_mode():
+        v = pf_ll(key, p0)
+        assert v.shape == ()
+        assert bool(jnp.isfinite(v))
+        res = cssm.pmmh(key, p0, pf_ll, perturb(0.02), 4)
+    assert res.lls.shape == (4,)
+    assert bool(jnp.isfinite(res.lls).all())
