@@ -347,7 +347,8 @@ def _make_save_fn_t(model: Model, store, interval: float,
 def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
                    n_particles: int, key, t0, x_init,
                    store, ess_threshold, interval: float,
-                   fused_propagate: bool = False, unroll: int = 1):
+                   fused_propagate: bool = False, unroll: int = 1,
+                   counts_scheme: str = "systematic"):
     """Transposed-layout scan: particles as [d, N] with the particle axis on
     TPU lanes, resampling via the Pallas merge-gather kernel with no
     per-step relayouts (an [N, d] <-> [d, N] transpose at N ~ 1e6 costs
@@ -364,7 +365,10 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
     """
     from ..ops.resample_kernel import (propagate_weights_t,
                                        sorted_gather_resample_t,
-                                       systematic_counts)
+                                       stratified_counts, systematic_counts)
+
+    counts_fn = (stratified_counts if counts_scheme == "stratified"
+                 else systematic_counts)
 
     save_fn = _make_save_fn_t(model, store, interval,
                               weighted=ess_threshold is not None)
@@ -452,7 +456,7 @@ def _filter_impl_t(model: Model, params: Tree, data: TimeSeries,
 
         def yes(args):
             xp, wp = args
-            counts = systematic_counts(k_res, wp)
+            counts = counts_fn(k_res, wp)
             if d_pad:
                 xp = jnp.concatenate(
                     [xp, jnp.zeros((d_pad, n), dtype)], axis=0)
@@ -669,6 +673,12 @@ def _filter_impl(model: Model, params: Tree, data: TimeSeries,
         return _filter_impl_t(model, params, data, n_particles, key, t0,
                               x_init, store, ess_threshold, interval,
                               unroll=unroll)
+    if resample == "stratified-pallas":
+        # the merge kernel consumes ANY monotone counts; stratified
+        # counts are closed-form too (Resampling.scala:78-86)
+        return _filter_impl_t(model, params, data, n_particles, key, t0,
+                              x_init, store, ess_threshold, interval,
+                              unroll=unroll, counts_scheme="stratified")
     if resample == "systematic-pallas-fused":
         if store in ("ll", None):
             return _filter_impl_t_fused(model, params, data, n_particles,
@@ -785,10 +795,11 @@ def bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
       key: PRNG key.
       resample: 'systematic' | 'stratified' | 'multinomial' | 'residual' |
         'identity' or a custom ``(key, weights) -> indices`` kernel; on
-        TPU, 'systematic-pallas' runs the whole scan in transposed [d, N]
+        TPU, 'systematic-pallas' (or 'stratified-pallas') runs the whole
+        scan in transposed [d, N]
         layout with the merge-gather resampling kernel (bit-compared
-        against 'systematic'; requires N divisible by 1024 -- see
-        ops/resample_kernel.py), and 'systematic-pallas-fused'
+        against 'systematic'/'stratified'; requires N divisible by 1024
+        -- see ops/resample_kernel.py), and 'systematic-pallas-fused'
         additionally runs the exact propagation with in-kernel noise
         (the headline perf path; statistically -- not bitwise --
         equivalent; models with exact transitions only): under

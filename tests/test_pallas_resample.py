@@ -516,3 +516,28 @@ def test_fused_weighted_kernel_matches_xla_weights(key):
         # real state rows unchanged by the weight tail
         np.testing.assert_allclose(np.asarray(out)[: d - 1],
                                    prop[: d - 1], rtol=1e-6, atol=1e-6)
+
+
+def test_filter_stratified_pallas_matches_stratified(key):
+    """'stratified-pallas' is bit-identical to 'stratified' given the same
+    key (the merge kernel consumes any monotone counts)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from composablestatespacemodels_tpu import (bootstrap_filter, linear,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+
+    model = linear(brownian_motion(1))
+    params = parameters(jnp.log(0.5), brownian_params(0.0, 1.0, 0.4))
+    sim = simulate_regular(model, params, key, 20)
+    data = sim.to_timeseries()
+    with pltpu.force_tpu_interpret_mode():
+        res_p = bootstrap_filter(model, params, data, 1024, key,
+                                 resample="stratified-pallas", store="ll")
+    res_s = bootstrap_filter(model, params, data, 1024, key,
+                             resample="stratified", store="ll")
+    np.testing.assert_allclose(res_p.ll, res_s.ll, rtol=1e-6)
+    np.testing.assert_array_equal(res_p.final_particles,
+                                  res_s.final_particles)
