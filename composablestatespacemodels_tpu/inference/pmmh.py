@@ -509,7 +509,7 @@ def adaptive_pmmh(key, init_params: Tree, pf_ll: Callable, n_iters: int, *,
 
 def pilot_run(model: Model, params: Tree, data: TimeSeries, key,
               particle_counts=(100, 200, 500, 1000, 2000), n_reps: int = 100,
-              resample: str = "systematic"):
+              resample: str = "systematic", fused_sweep: bool = False):
     """Variance of the PF log-likelihood estimate at several particle counts.
 
     Used to choose N for PMMH (aim: ll variance around 1).  The reference
@@ -522,13 +522,28 @@ def pilot_run(model: Model, params: Tree, data: TimeSeries, key,
     keep ``particle_counts`` short on backends with slow compiles (remote
     TPU: ~40s+ per shape).
 
+    With ``fused_sweep`` (TPU, exact-transition models), counts <= 128
+    run all repetitions as one batch of iid chains through the fused
+    sweep kernel (ONE launch instead of a vmapped scan -- the
+    repetitions ARE independent chains); larger counts keep the vmapped
+    path.
+
     Returns a list of ``(n_particles, mean_ll, var_ll)``.
     """
     out = []
     for i, n in enumerate(particle_counts):
-        pf_ll = make_pf_loglik(model, data, int(n), resample)
-        keys = jax.random.split(jax.random.fold_in(key, i), n_reps)
-        lls = jax.jit(jax.vmap(lambda k: pf_ll(k, params)))(keys)
+        k_n = jax.random.fold_in(key, i)
+        if fused_sweep and int(n) <= 128:
+            pf_all = make_pf_loglik_chains(model, data, int(n))
+            b = -(-n_reps // 8) * 8
+            params_b = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                           (b,) + jnp.shape(x)), params)
+            lls = pf_all(k_n, params_b)[:n_reps]
+        else:
+            pf_ll = make_pf_loglik(model, data, int(n), resample)
+            keys = jax.random.split(k_n, n_reps)
+            lls = jax.jit(jax.vmap(lambda k: pf_ll(k, params)))(keys)
         out.append((int(n), float(jnp.mean(lls)), float(jnp.var(lls))))
     return out
 

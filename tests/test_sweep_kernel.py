@@ -208,3 +208,22 @@ def test_make_pf_loglik_fused_sweep_single_chain(key):
         res = cssm.pmmh(key, p0, pf_ll, perturb(0.02), 4)
     assert res.lls.shape == (4,)
     assert bool(jnp.isfinite(res.lls).all())
+
+
+def test_pilot_run_fused_sweep(key):
+    """pilot_run(fused_sweep=True): repetitions run as one iid-chain
+    batch through the sweep kernel at counts <= 128, same statistics."""
+    import composablestatespacemodels_tpu as cssm
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+
+    model = cssm.linear(brownian_motion(1))
+    p0 = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = cssm.simulate_regular(model, p0, jax.random.PRNGKey(0), 15, dt=0.5)
+    data = sim.to_timeseries()
+    with pltpu.force_tpu_interpret_mode():
+        out = cssm.pilot_run(model, p0, data, key, particle_counts=(64,),
+                             n_reps=12, fused_sweep=True)
+    (n, mean, var), = out
+    assert n == 64 and np.isfinite(mean) and var >= 0
