@@ -66,7 +66,7 @@ def main():
         # DetermineParameters.scala:22-45)
         out = cssm.pilot_run(model, params, data, key,
                              particle_counts=(100, 200, 500, 1000, 2000),
-                             n_reps=100)
+                             n_reps=100, fused_sweep=args.fused_sweep)
         print("n_particles, mean_ll, var_ll")
         for n, m, v in out:
             print(f"{n}, {m:.3f}, {v:.3f}")
