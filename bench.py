@@ -413,15 +413,27 @@ def main():
             throughput / BASELINE_PARTICLE_STEPS_PER_SEC, 2),
     }
     if (args.pmmh or not args.smoke) and not args.no_secondary:
-        result["decompose_ms_per_step"] = bench_decompose(n)
-        result["pmmh_iters_per_sec"] = round(bench_pmmh(), 1)
-        result["pmmh_chains_aggregate_iters_per_sec"] = round(
-            bench_pmmh_chains(), 1)
-        result["pmmh_fused_sweep_iters_per_sec"] = round(bench_pmmh_fused(),
-                                                         1)
-        result["pmmh_chains_fused_sweep_iters_per_sec"] = round(
-            bench_pmmh_chains_fused(), 1)
-        result["sharded_particle_steps_per_sec"] = round(bench_sharded(n))
+        # each secondary guarded: a failure (backend outage mid-bench,
+        # worker crash) must not cost the metrics already measured --
+        # the recorded JSON line is the round's perf artifact
+        secondaries = [
+            ("decompose_ms_per_step", lambda: bench_decompose(n)),
+            ("pmmh_iters_per_sec", lambda: round(bench_pmmh(), 1)),
+            ("pmmh_chains_aggregate_iters_per_sec",
+             lambda: round(bench_pmmh_chains(), 1)),
+            ("pmmh_fused_sweep_iters_per_sec",
+             lambda: round(bench_pmmh_fused(), 1)),
+            ("pmmh_chains_fused_sweep_iters_per_sec",
+             lambda: round(bench_pmmh_chains_fused(), 1)),
+            ("sharded_particle_steps_per_sec",
+             lambda: round(bench_sharded(n))),
+        ]
+        for name, fn in secondaries:
+            try:
+                result[name] = fn()
+            except Exception as e:  # noqa: BLE001 - record, keep going
+                print(f"secondary {name} failed: {e!r}", file=sys.stderr)
+                result[name + "_error"] = str(e)[:200]
     print(json.dumps(result))
 
 
