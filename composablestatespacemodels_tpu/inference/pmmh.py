@@ -129,18 +129,22 @@ def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
     filter runs in ONE Pallas launch (minimum batch of 8 lane-width
     chains, the requested chain in row 0) -- ~2x single-chain PMMH
     throughput; use :func:`make_pf_loglik_chains` +
-    ``pmmh_chains(pf_ll_chains=)`` when running many chains.
+    ``pmmh_chains(pf_ll_chains=)`` when running many chains.  Composes
+    with ``store_state``: the sweep kernel returns the final resampled
+    clouds (``x_final``), and one particle is sampled from row 0's.
     """
     if fused_sweep:
-        if store_state:
-            raise ValueError("fused_sweep does not support store_state")
-        pf_all = make_pf_loglik_chains(model, data, n_particles)
+        pf_all = make_pf_loglik_chains(model, data, n_particles,
+                                       store_state=store_state)
 
         def pf_ll_sweep(key, params):
             params_b = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
                                            (8,) + jnp.shape(x)), params)
-            return pf_all(key, params_b)[0]
+            out = pf_all(key, params_b)
+            if store_state:
+                return out[0][0], out[1][0]
+            return out[0]
 
         return pf_ll_sweep
 
@@ -160,7 +164,8 @@ def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
 
 
 def make_pf_loglik_chains(model: Model, data: TimeSeries, n_particles: int,
-                          interpret: bool = False) -> Callable:
+                          interpret: bool = False,
+                          store_state: bool = False) -> Callable:
     """Batched-chains log-likelihood via the fused sweep kernel.
 
     Returns ``(key, params_batched) -> ll [B]`` evaluating EVERY chain's
@@ -172,6 +177,12 @@ def make_pf_loglik_chains(model: Model, data: TimeSeries, n_particles: int,
     streams); requires f32, ``n_particles <= 128``, exact-transition
     SDEs and an observation family with the ``kernel_log_density`` hook.
     Feed to :func:`pmmh_chains` as ``pf_ll_chains=``.
+
+    With ``store_state`` the callable returns ``(ll [B], state [B, d])``
+    -- per chain, one particle sampled uniformly from the final
+    (resampled, hence uniformly weighted) cloud the kernel already
+    returns, the reference ``filterLlState`` sampled latent state
+    (ParticleFilter.scala:346-357) batched over chains.
     """
     from ..ops.sweep_kernel import pf_sweep_chains
     from .filter import _seed_base
@@ -188,7 +199,7 @@ def make_pf_loglik_chains(model: Model, data: TimeSeries, n_particles: int,
     y_safe = jnp.where(data.mask, data.ys, 0.0)
 
     def pf_ll_all(key, params_b):
-        k_init, k_seed = jax.random.split(key)
+        k_init, k_seed, k_pick = jax.random.split(key, 3)
         sp_b = jax.vmap(model.sde_params)(params_b)
 
         def coefs_for_dt(dt):
@@ -206,9 +217,14 @@ def make_pf_loglik_chains(model: Model, data: TimeSeries, n_particles: int,
             lambda p, k: model.initial_state_t(p, k, n_particles))(
                 params_b, jax.random.split(k_init, n_chains))  # [B, d, n]
         seed = _seed_base(k_seed)
-        ll, _ = pf_sweep_chains(x0, coef, design, wconsts, data.mask, seed,
-                                weight_family=model.obs,
-                                interpret=interpret)
+        ll, xf = pf_sweep_chains(x0, coef, design, wconsts, data.mask, seed,
+                                 weight_family=model.obs,
+                                 interpret=interpret)
+        if store_state:
+            i = jax.random.randint(k_pick, (n_chains,), 0, n_particles)
+            state = jnp.take_along_axis(
+                xf, i[:, None, None], axis=2)[:, :, 0]       # [B, d]
+            return ll, state
         return ll
 
     return pf_ll_all
@@ -364,15 +380,16 @@ def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
     -> ll [n_chains]`` (see :func:`make_pf_loglik_chains`) -- all chains'
     filter sweeps run in ONE fused Pallas kernel instead of a vmapped
     per-chain scan, removing the per-step launch overhead that binds the
-    vmapped path at MCMC shapes.  ``pf_ll`` is ignored when given;
-    ``store_state`` is unsupported on this path.
+    vmapped path at MCMC shapes.  ``pf_ll`` is ignored when given.  With
+    ``store_state`` the evaluator must be built with
+    ``make_pf_loglik_chains(..., store_state=True)`` (returns
+    ``(ll [B], state [B, d])``); the result then carries per-chain joint
+    ``(params, state)`` draws exactly as the vmapped path does.
     """
     if pf_ll_chains is not None:
-        if store_state:
-            raise ValueError("store_state is unsupported with pf_ll_chains")
         return _pmmh_chains_fused(key, init_params, pf_ll_chains, proposal,
                                   n_iters, n_chains, prior, log_transition,
-                                  approx)
+                                  approx, store_state)
     keys = jax.random.split(key, n_chains)
 
     @partial(jax.jit, static_argnames=())
@@ -390,9 +407,10 @@ def pmmh_chains(key, init_params: Tree, pf_ll: Callable, proposal: Callable,
 
 @partial(jax.jit, static_argnames=("pf_ll_chains", "proposal", "prior",
                                    "log_transition", "n_iters", "n_chains",
-                                   "approx"))
+                                   "approx", "store_state"))
 def _pmmh_chains_fused(key, init_params, pf_ll_chains, proposal, n_iters,
-                       n_chains, prior, log_transition, approx):
+                       n_chains, prior, log_transition, approx,
+                       store_state=False):
     """Batched MH scan: the proposal/accept step is vmapped XLA (tiny),
     the likelihood of ALL chains comes from one fused sweep per iteration."""
     ftype = jnp.result_type(float)
@@ -400,17 +418,21 @@ def _pmmh_chains_fused(key, init_params, pf_ll_chains, proposal, n_iters,
         lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
                                    (n_chains,) + jnp.shape(x)), init_params)
 
+    def eval_ll(k, p_b):
+        out = pf_ll_chains(k, p_b)
+        return out if store_state else (out, ())
+
     def mh_step(carry, inp):
-        params_b, ll_b, acc_b = carry
+        params_b, ll_b, st_b, acc_b = carry
         k, i = inp
         k_prop, k_pf, k_pf_old, k_u = jax.random.split(k, 4)
         prop_b = jax.vmap(proposal)(jax.random.split(k_prop, n_chains),
                                     params_b)
-        ll_prop = pf_ll_chains(k_pf, prop_b)
+        ll_prop, s_prop = eval_ll(k_pf, prop_b)
         if approx:
-            ll_cur = pf_ll_chains(k_pf_old, params_b)
+            ll_cur, s_cur = eval_ll(k_pf_old, params_b)
         else:
-            ll_cur = ll_b
+            ll_cur, s_cur = ll_b, st_b
         a = (ll_prop + jax.vmap(log_transition)(prop_b, params_b)
              + jax.vmap(prior)(prop_b)
              - jax.vmap(log_transition)(params_b, prop_b) - ll_cur
@@ -423,20 +445,31 @@ def _pmmh_chains_fused(key, init_params, pf_ll_chains, proposal, n_iters,
 
         new_params = jax.tree_util.tree_map(sel, params_b, prop_b)
         new_ll = jnp.where(accept, ll_prop, ll_cur)
+        new_st = jax.tree_util.tree_map(sel, s_cur, s_prop)
         new_acc = acc_b + accept.astype(jnp.int32)
-        carry1 = (new_params, new_ll, new_acc)
+        carry1 = (new_params, new_ll, new_st, new_acc)
         return carry1, carry1
 
+    st0 = ()
+    if store_state:
+        # zeros never reach the output: the first proposal is always
+        # accepted (initial ll = -1e30), overwriting the carry
+        shape = jax.eval_shape(lambda k, p: pf_ll_chains(k, p)[1],
+                               key, params0)
+        st0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shape)
     keys = jax.random.split(key, n_iters)
-    init = (params0, jnp.full((n_chains,), _INIT_LL, ftype),
+    init = (params0, jnp.full((n_chains,), _INIT_LL, ftype), st0,
             jnp.zeros((n_chains,), jnp.int32))
-    _, (ps, lls, accs) = jax.lax.scan(
+    _, (ps, lls, sts, accs) = jax.lax.scan(
         mh_step, init, (keys, jnp.arange(n_iters)))
     # stacked [iters, chains, ...] -> [chains, iters, ...] (the vmapped
     # path's layout)
     swap = lambda x: jnp.swapaxes(x, 0, 1)
     return PmmhResult(jax.tree_util.tree_map(swap, ps), swap(lls),
-                      swap(accs))
+                      swap(accs),
+                      jax.tree_util.tree_map(swap, sts) if store_state
+                      else None)
 
 
 def adaptive_pmmh(key, init_params: Tree, pf_ll: Callable, n_iters: int, *,

@@ -13,6 +13,7 @@ device mesh.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Callable
 
@@ -32,27 +33,36 @@ from .sharded_filter import _sharded_scan, _sharded_scan_t, auto_transposed
 _INIT_LL = -1e30
 
 
-def sharded_initial_state(init_params: Tree, n_chains: int) -> PmmhState:
+def sharded_initial_state(init_params: Tree, n_chains: int,
+                          state_dim: int | None = None) -> PmmhState:
     """Fresh per-chain state: params broadcast over a leading [n_chains]
     axis, ll = -1e30 so each chain's first proposal is always accepted
-    (PMMH.scala:121)."""
+    (PMMH.scala:121).
+
+    ``state_dim``: with ``store_state`` the carried latent state needs a
+    [n_chains, state_dim] zeros slot (``model.dim``); the zeros never
+    reach the output -- the always-accepted first proposal overwrites
+    them with the first PF's sampled state."""
     ftype = jnp.result_type(float)
     params = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
                                    (n_chains,) + jnp.shape(x)), init_params)
+    latent = (() if state_dim is None
+              else jnp.zeros((n_chains, state_dim), ftype))
     return PmmhState(params,
                      jnp.full((n_chains,), _INIT_LL, ftype),
-                     jnp.zeros((n_chains,), jnp.int32))
+                     jnp.zeros((n_chains,), jnp.int32),
+                     latent)
 
 
 @partial(jax.jit,
          static_argnames=("model", "n_particles", "n_iters", "mesh",
                           "proposal", "prior", "log_transition",
-                          "transposed", "approx"))
+                          "transposed", "approx", "store_state"))
 def _sharded_pmmh_impl(model: Model, state0: PmmhState, data: TimeSeries,
                        n_particles: int, key, n_iters: int, mesh: Mesh,
                        proposal, prior, log_transition, transposed=False,
-                       approx=False):
+                       approx=False, store_state=False):
     n_pshards = mesh.shape[PARTICLE_AXIS]
     if n_particles % n_pshards:
         raise ValueError(
@@ -65,29 +75,52 @@ def _sharded_pmmh_impl(model: Model, state0: PmmhState, data: TimeSeries,
         p0 = jax.tree_util.tree_map(lambda x: x[0], s0.params)
         ll0 = s0.ll[0]
         acc0 = s0.accepted[0]
+        st0 = jax.tree_util.tree_map(lambda x: x[0], s0.state)
 
-        def pf_ll(kk, p):
+        def run_scan(kk, p):
             # sync_axes: the adaptive resampling ring's trip count must
             # agree across chain rows too (its ppermutes rendezvous
             # mesh-wide), so the unfilled-count psum spans both axes
             scan = _sharded_scan_t if transposed else _sharded_scan
-            ll, _, _, _, _ = scan(
-                model, p, d, local_n, kk, PARTICLE_AXIS,
-                sync_axes=(CHAIN_AXIS, PARTICLE_AXIS))
-            return ll
+            return scan(model, p, d, local_n, kk, PARTICLE_AXIS,
+                        sync_axes=(CHAIN_AXIS, PARTICLE_AXIS))
+
+        def pf_ll(kk, p):
+            return run_scan(kk, p)[0], ()
+
+        def pf_ll_state(kk, p):
+            # one particle sampled uniformly from the final (resampled,
+            # hence uniformly weighted) GLOBAL cloud (the reference
+            # filterLlState, ParticleFilter.scala:346-357): a global
+            # index is drawn from the chain-shared key stream, the
+            # owning particle shard contributes its row, and a psum
+            # replicates it to every shard of the chain
+            k_run, k_pick = jax.random.split(kk)
+            ll, _, _, xf, _ = run_scan(k_run, p)     # xf [local_n, dim]
+            j = jax.random.randint(k_pick, (), 0, n_particles)
+            si = jax.lax.axis_index(PARTICLE_AXIS)
+            loc = j - si * local_n
+            mine = (loc >= 0) & (loc < local_n)
+            row = xf[jnp.clip(loc, 0, local_n - 1)]
+            st = jax.lax.psum(jnp.where(mine, row, jnp.zeros_like(row)),
+                              PARTICLE_AXIS)
+            return ll, st
+
+        eval_ll = pf_ll_state if store_state else pf_ll
 
         def mh_step(carry, kk):
-            cur, ll, acc = carry
+            cur, ll, st, acc = carry
             k_prop, k_pf, k_pf_old, k_u = jax.random.split(kk, 4)
             # proposal key identical on every particle shard of this chain
             prop = proposal(k_prop, cur)
-            ll_prop = pf_ll(k_pf, prop)
+            ll_prop, s_prop = eval_ll(k_pf, prop)
             if approx:
                 # doubly-stochastic: refresh the current params' estimate
-                # too (ApproxPMMH, PMMH.scala:138-152)
-                ll_cur = pf_ll(k_pf_old, cur)
+                # too (ApproxPMMH, PMMH.scala:138-152); the refreshed
+                # state stays paired with the refreshed ll
+                ll_cur, s_cur = eval_ll(k_pf_old, cur)
             else:
-                ll_cur = ll
+                ll_cur, s_cur = ll, st
             a = (ll_prop + log_transition(prop, cur) + prior(prop)
                  - log_transition(cur, prop) - ll_cur - prior(cur))
             accept = (jnp.log(jax.random.uniform(
@@ -95,25 +128,30 @@ def _sharded_pmmh_impl(model: Model, state0: PmmhState, data: TimeSeries,
             new = jax.tree_util.tree_map(
                 lambda x, y: jnp.where(accept, y, x), cur, prop)
             new_ll = jnp.where(accept, ll_prop, ll_cur)
+            new_st = jax.tree_util.tree_map(
+                lambda c, q: jnp.where(accept, q, c), s_cur, s_prop)
             new_acc = acc + accept.astype(jnp.int32)
-            return (new, new_ll, new_acc), (new, new_ll, new_acc)
+            carry1 = (new, new_ll, new_st, new_acc)
+            return carry1, carry1
 
         keys = jax.random.split(k, n_iters)
-        (pf, llf, accf), (ps, lls, accs) = jax.lax.scan(
-            mh_step, (p0, ll0, acc0), keys)
+        (pf, llf, stf, accf), (ps, lls, sts, accs) = jax.lax.scan(
+            mh_step, (p0, ll0, st0, acc0), keys)
         # add a leading local-chain axis so out_specs can lay chains out
         expand = lambda x: x[None]
-        return (jax.tree_util.tree_map(expand, ps), lls[None], accs[None],
-                jax.tree_util.tree_map(expand, pf), llf[None], accf[None])
+        ex = lambda t: jax.tree_util.tree_map(expand, t)
+        return (ex(ps), lls[None], accs[None], ex(sts),
+                ex(pf), llf[None], accf[None], ex(stf))
 
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P(CHAIN_AXIS), P(), P()),
-        out_specs=(P(CHAIN_AXIS),) * 6,
+        out_specs=(P(CHAIN_AXIS),) * 8,
         check_vma=False,
     )
-    ps, lls, accs, pf, llf, accf = fn(state0, data, key)
-    return PmmhResult(ps, lls, accs), PmmhState(pf, llf, accf)
+    ps, lls, accs, sts, pf, llf, accf, stf = fn(state0, data, key)
+    return (PmmhResult(ps, lls, accs, sts if store_state else None),
+            PmmhState(pf, llf, accf, stf))
 
 
 def sharded_pmmh(model: Model, init_params: Tree, data: TimeSeries,
@@ -122,6 +160,7 @@ def sharded_pmmh(model: Model, init_params: Tree, data: TimeSeries,
                  prior: Callable = flat_prior,
                  log_transition: Callable = symmetric_transition,
                  approx: bool = False,
+                 store_state: bool = False,
                  init_state: PmmhState | None = None,
                  return_state: bool = False,
                  transposed: bool | None = None) -> PmmhResult:
@@ -131,6 +170,12 @@ def sharded_pmmh(model: Model, init_params: Tree, data: TimeSeries,
     Mirrors the single-device tier (:func:`..inference.pmmh.pmmh`):
     ``approx`` re-evaluates the current parameters' likelihood every
     iteration (the reference ApproxPMMH, PMMH.scala:128-153);
+    ``store_state`` carries each iteration's sampled latent final state
+    (the reference ``MetropState.state``, PMMH.scala:26): one particle
+    is drawn uniformly from the final resampled GLOBAL cloud (the owning
+    shard's row is psum-replicated across the particle axis), so
+    ``(params[c, i], states[c, i])`` are JOINT posterior draws per chain
+    -- feed to :func:`~..inference.filter.forecast_from_posterior`;
     ``init_state`` resumes from a per-chain :class:`PmmhState` (leading
     [n_chains] axis on every leaf -- see :func:`sharded_initial_state`),
     overriding ``init_params``; ``return_state`` also returns the final
@@ -142,14 +187,24 @@ def sharded_pmmh(model: Model, init_params: Tree, data: TimeSeries,
     and 1024-divisible shard size; see sharded_filter)."""
     if init_state is None:
         model.validate_params(init_params)
-        init_state = sharded_initial_state(init_params,
-                                           mesh.shape[CHAIN_AXIS])
+        init_state = sharded_initial_state(
+            init_params, mesh.shape[CHAIN_AXIS],
+            state_dim=model.dim if store_state else None)
+    elif store_state and isinstance(init_state.state, tuple):
+        # resumed state predating store_state: seed a zeros latent carry
+        # (emitted until this run's first acceptance -- resume with a
+        # store_state checkpoint to avoid the gap)
+        init_state = dataclasses.replace(
+            init_state,
+            state=jnp.zeros((mesh.shape[CHAIN_AXIS], model.dim),
+                            jnp.result_type(float)))
     if transposed is None:
         local_n = n_particles // max(mesh.shape[PARTICLE_AXIS], 1)
         transposed = auto_transposed(local_n)
     result, final = _sharded_pmmh_impl(
         model, init_state, data, n_particles, key, n_iters, mesh, proposal,
-        prior, log_transition, transposed=transposed, approx=approx)
+        prior, log_transition, transposed=transposed, approx=approx,
+        store_state=store_state)
     return (result, final) if return_state else result
 
 
@@ -220,6 +275,7 @@ def sharded_pmmh_monitored(key, model: Model, init_params: Tree,
                            prior: Callable = flat_prior,
                            log_transition: Callable = symmetric_transition,
                            approx: bool = False,
+                           store_state: bool = False,
                            checkpoint_path: str | None = None,
                            log_every: bool = True,
                            out=None) -> PmmhResult:
@@ -229,9 +285,12 @@ def sharded_pmmh_monitored(key, model: Model, init_params: Tree,
     Streaming.scala:72-94; serialisation Streaming.scala:200-241).
 
     Prints the chain-mean running acceptance after every chunk.  With
-    ``checkpoint_path`` the per-chain state (params, ll, accepted, key,
-    completed chunks) persists after each chunk and a rerun resumes from
-    it, returning the FULL [n_chains, n_iters, ...] chain.
+    ``checkpoint_path`` the per-chain state (params, ll, accepted, the
+    ``store_state`` latent carry, key, completed chunks) persists after
+    each chunk and a rerun resumes from it, returning the FULL
+    [n_chains, n_iters, ...] chain.  ``store_state`` carries joint
+    latent-state draws exactly as :func:`sharded_pmmh` does (reference
+    ``MetropState.state`` monitored by Streaming.scala:84-94).
     """
     import sys
 
@@ -241,7 +300,9 @@ def sharded_pmmh_monitored(key, model: Model, init_params: Tree,
     out = sys.stderr if out is None else out
     n_chains = mesh.shape[CHAIN_AXIS]
     n_chunks = -(-n_iters // chunk_size)
-    state = sharded_initial_state(init_params, n_chains)
+    state = sharded_initial_state(
+        init_params, n_chains,
+        state_dim=model.dim if store_state else None)
     start_chunk = 0
 
     def _chunk_path(c):
@@ -253,7 +314,8 @@ def sharded_pmmh_monitored(key, model: Model, init_params: Tree,
         return PmmhResult(
             jax.tree_util.tree_map(zeros, init_params),
             jnp.zeros((n_chains, size), jnp.result_type(float)),
-            jnp.zeros((n_chains, size), jnp.int32))
+            jnp.zeros((n_chains, size), jnp.int32),
+            zeros(jnp.zeros((model.dim,))) if store_state else None)
 
     pieces = []
     if checkpoint_path and checkpoint_exists(checkpoint_path):
@@ -280,7 +342,8 @@ def sharded_pmmh_monitored(key, model: Model, init_params: Tree,
         res, state = sharded_pmmh(
             model, init_params, data, n_particles, k_chunk, size, mesh,
             proposal=proposal, prior=prior, log_transition=log_transition,
-            approx=approx, init_state=state, return_state=True)
+            approx=approx, store_state=store_state, init_state=state,
+            return_state=True)
         pieces.append(jax.device_get(res))
         if log_every:
             total_it = c * chunk_size + size
@@ -301,4 +364,5 @@ def sharded_pmmh_monitored(key, model: Model, init_params: Tree,
     return PmmhResult(
         jax.tree_util.tree_map(cat, *[p.params for p in pieces]),
         cat(*[p.lls for p in pieces]),
-        cat(*[p.accepted for p in pieces]))
+        cat(*[p.accepted for p in pieces]),
+        cat(*[p.states for p in pieces]) if store_state else None)

@@ -227,3 +227,44 @@ def test_pilot_run_fused_sweep(key):
                              n_reps=12, fused_sweep=True)
     (n, mean, var), = out
     assert n == 64 and np.isfinite(mean) and var >= 0
+
+
+def test_make_pf_loglik_chains_store_state(key):
+    """store_state on the fused-chains tier: per-chain (ll, state) with
+    the state one particle of the kernel's returned final cloud, and
+    pmmh_chains(pf_ll_chains=, store_state=True) carries joint draws
+    (VERDICT r4 #4; reference MetropState, PMMH.scala:26)."""
+    import composablestatespacemodels_tpu as cssm
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters, perturb)
+    from composablestatespacemodels_tpu.ops.sweep_kernel import \
+        pf_sweep_chains  # noqa: F401  (import sanity)
+
+    model = cssm.linear(brownian_motion(1))
+    p0 = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = cssm.simulate_regular(model, p0, jax.random.PRNGKey(0), 10, dt=0.5)
+    data = sim.to_timeseries()
+    pf_all = cssm.make_pf_loglik_chains(model, data, 64, store_state=True)
+    params_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                   (8,) + jnp.shape(x)), p0)
+    with pltpu.force_tpu_interpret_mode():
+        ll, st = pf_all(key, params_b)
+    assert ll.shape == (8,) and st.shape == (8, model.dim)
+    assert bool(jnp.isfinite(ll).all()) and bool(jnp.isfinite(st).all())
+
+    with pltpu.force_tpu_interpret_mode():
+        res = cssm.pmmh_chains(key, p0, None, perturb(0.02), 5, 8,
+                               pf_ll_chains=pf_all, store_state=True)
+    assert res.states.shape == (8, 5, model.dim)
+    assert bool(jnp.isfinite(res.states).all())
+
+    # single-chain front door composes fused_sweep with store_state
+    pf_ll = cssm.make_pf_loglik(model, data, 64, fused_sweep=True,
+                                store_state=True)
+    with pltpu.force_tpu_interpret_mode():
+        v, s = pf_ll(key, p0)
+        assert v.shape == () and s.shape == (model.dim,)
+        res1 = cssm.pmmh(key, p0, pf_ll, perturb(0.02), 4, store_state=True)
+    assert res1.states.shape == (4, model.dim)
