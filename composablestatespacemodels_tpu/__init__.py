@@ -19,7 +19,7 @@ __version__ = "0.1.0"
 
 from . import inference, models, native, utils
 from .inference import (adaptive_pmmh, bootstrap_filter, forecast,
-                        forecast_from_posterior, forecast_times,
+                        forecast_cloud, forecast_from_posterior, forecast_times,
                         interpolation_filter, kalman_filter, lgcp_filter,
                         log_likelihood, make_pf_loglik,
                         make_pf_loglik_chains, pilot_run,
@@ -40,7 +40,8 @@ __all__ = [
     "brownian_params", "gen_brownian_params", "ou_params",
     "param_node", "parameters", "leaf", "branch",
     "bootstrap_filter", "log_likelihood", "kalman_filter", "forecast",
-    "forecast_times", "forecast_from_posterior", "lgcp_filter",
+    "forecast_cloud", "forecast_times", "forecast_from_posterior",
+    "lgcp_filter",
     "interpolation_filter",
     "pmmh", "pmmh_chains", "adaptive_pmmh", "make_pf_loglik",
     "make_pf_loglik_chains", "pilot_run",

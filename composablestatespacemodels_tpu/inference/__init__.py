@@ -1,7 +1,8 @@
 from . import filter as filter_mod
 from . import interpolation, kalman, lgcp, pmmh, resampling
-from .filter import (FilterResult, Forecast, PfSummary, bootstrap_filter,
-                     credible_interval_eta, credible_interval_state, forecast,
+from .filter import (FilterResult, Forecast, ForecastCloud, PfSummary,
+                     bootstrap_filter, credible_interval_eta,
+                     credible_interval_state, forecast, forecast_cloud,
                      forecast_from_posterior, forecast_times, log_likelihood)
 from .interpolation import InterpolationResult, interpolation_filter
 from .kalman import KalmanResult, kalman_filter
@@ -26,7 +27,8 @@ __all__ = [
     "lgcp_filter", "LgcpResult",
     "interpolation_filter", "InterpolationResult",
     "bootstrap_filter", "log_likelihood", "FilterResult", "PfSummary",
-    "Forecast", "forecast", "forecast_times", "forecast_from_posterior",
+    "Forecast", "ForecastCloud", "forecast", "forecast_cloud",
+    "forecast_times", "forecast_from_posterior",
     "credible_interval_eta", "credible_interval_state",
     "kalman_filter", "KalmanResult",
     "systematic_indices", "stratified_indices", "multinomial_indices",

@@ -900,24 +900,66 @@ class Forecast:
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ForecastCloud:
+    """Per-particle predictive draws at one future time.
+
+    The reference ``getForecast`` returns the full per-particle
+    ``Vector[ObservationWithState]`` (sdeState, gamma, eta and a sampled
+    observation per particle -- ParticleFilter.scala:368-390);
+    :class:`Forecast` is its pooled ``getMeanForecast`` flavour
+    (:368-410).  ``summarise`` reproduces the pooled view exactly.
+    """
+
+    t: jnp.ndarray      # scalar forecast time
+    state: jnp.ndarray  # [N, d] propagated latent states (sdeState)
+    gamma: jnp.ndarray  # [N] linear predictor f(x, t)
+    eta: jnp.ndarray    # [N] link(gamma)
+    obs: jnp.ndarray    # [N] sampled observations
+
+    def tree_flatten(self):
+        return ((self.t, self.state, self.gamma, self.eta, self.obs), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def summarise(self, interval: float = 0.995) -> Forecast:
+        """Pool the cloud into the :class:`Forecast` summary (the
+        reference ``getMeanForecast``, ParticleFilter.scala:392-410)."""
+        s_lo, s_hi = credible_interval_state(self.state, interval)
+        e_lo, e_hi = credible_interval_eta(self.eta, interval)
+        o_lo, o_hi = credible_interval_eta(self.obs, interval)
+        return Forecast(self.t, jnp.mean(self.obs), o_lo, o_hi,
+                        jnp.mean(self.eta), e_lo, e_hi,
+                        jnp.mean(self.state, axis=0), s_lo, s_hi)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def forecast_cloud(model: Model, params: Tree, particles, t_prev, t,
+                   key) -> ForecastCloud:
+    """Advance a filtering particle cloud to time ``t`` and return the
+    per-particle predictive draws (reference ``getForecast``,
+    ParticleFilter.scala:368-390).  ``particles`` should be an
+    (exchangeable) post-resampling cloud, e.g.
+    ``FilterResult.final_particles``."""
+    k_step, k_obs = jax.random.split(key)
+    x1 = model.step(params, k_step, particles, t - t_prev)
+    gamma = model.f(x1, t)
+    return ForecastCloud(jnp.asarray(t), x1, gamma, model.link(gamma),
+                         model.sample_obs(k_obs, params, gamma))
+
+
 @partial(jax.jit, static_argnames=("model", "interval"))
 def forecast(model: Model, params: Tree, particles, t_prev, t, key,
              interval: float = 0.995) -> Forecast:
     """Advance a filtering particle cloud to time ``t`` and summarise the
     predictive distribution (reference getForecast/getMeanForecast,
-    ParticleFilter.scala:368-410)."""
-    k_step, k_obs = jax.random.split(key)
-    x1 = model.step(params, k_step, particles, t - t_prev)
-    gamma = model.f(x1, t)
-    eta = model.link(gamma)
-    obs = model.sample_obs(k_obs, params, gamma)
-
-    s_lo, s_hi = credible_interval_state(x1, interval)
-    e_lo, e_hi = credible_interval_eta(eta, interval)
-    o_lo, o_hi = credible_interval_eta(obs, interval)
-    return Forecast(jnp.asarray(t), jnp.mean(obs), o_lo, o_hi,
-                    jnp.mean(eta), e_lo, e_hi,
-                    jnp.mean(x1, axis=0), s_lo, s_hi)
+    ParticleFilter.scala:368-410).  For the per-particle cloud itself use
+    :func:`forecast_cloud` (same key -> identical draws)."""
+    return forecast_cloud(model, params, particles, t_prev, t,
+                          key).summarise(interval)
 
 
 def forecast_times(model: Model, params: Tree, particles, t_prev, ts, key,

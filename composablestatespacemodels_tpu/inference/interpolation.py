@@ -121,6 +121,15 @@ def _interp_impl(model: Model, params: Tree, data: TimeSeries,
         jnp.mean(paths, axis=1), s_lo, s_hi)
 
 
+def interpolation_memory_bytes(n_steps: int, n_particles: int,
+                               dim: int, itemsize: int = 4) -> int:
+    """Peak HBM footprint of :func:`interpolation_filter`'s history arrays:
+    the pre-resample states ``[T, N, d]``, the reconstructed paths
+    ``[T, N, d]`` (live simultaneously during the backward gather) and the
+    genealogy ``[T, N]`` int32 indices."""
+    return n_steps * n_particles * (2 * dim * itemsize + 4)
+
+
 def interpolation_filter(model: Model, params: Tree, data: TimeSeries,
                          n_particles: int, key, *,
                          t0: Optional[float] = None,
@@ -133,6 +142,15 @@ def interpolation_filter(model: Model, params: Tree, data: TimeSeries,
     Knock out observations with :meth:`TimeSeries.knock_out`; the returned
     per-time clouds are *smoothed* (conditioned on all observations), so the
     credible intervals bridge the gap rather than fanning out.
+
+    Memory bound: unlike ``bootstrap_filter`` (whose ``store='ll'/'summary'``
+    paths keep only the current cloud), this filter holds the FULL
+    ``[T, N, d]`` pre-resample history plus the reconstructed ``[T, N, d]``
+    paths in HBM -- :func:`interpolation_memory_bytes` gives the footprint.
+    On a 16 GB chip that caps ``T * N * d`` at roughly ``2e9`` f32 elements
+    (e.g. ``T=1000, d=7`` -> ``N ~ 2.8e5``; the reference shapes, N ~ 1e3,
+    are three orders of magnitude inside it).  For larger N, filter with
+    ``store='summary'`` instead; there is no transposed/sharded variant.
     """
     model.validate_params(params)
     return _interp_impl(model, params, data, n_particles, key, t0, resample,

@@ -150,3 +150,33 @@ def test_forecast_from_joint_pmmh_posterior(key):
     # and the credible interval brackets it
     assert float(fc.state_lower[0, 0]) <= kf_mean <= float(
         fc.state_upper[0, 0])
+
+
+def test_forecast_cloud_matches_pooled(fitted, key):
+    """forecast_cloud returns the per-particle predictive draws (the
+    reference getForecast's Vector[ObservationWithState],
+    ParticleFilter.scala:368-390); its pooled summaries ARE forecast's
+    output (same key -> identical draws)."""
+    from composablestatespacemodels_tpu import forecast_cloud
+
+    model, params, sim, res = fitted
+    t_last = float(sim.ts[-1])
+    n = res.final_particles.shape[0]
+    fc = forecast_cloud(model, params, res.final_particles, t_last,
+                        t_last + 1.0, key)
+    assert fc.state.shape == (n, model.dim)
+    assert fc.gamma.shape == (n,) and fc.eta.shape == (n,)
+    assert fc.obs.shape == (n,)
+    # linear model: eta == gamma, obs = eta + noise
+    np.testing.assert_allclose(np.asarray(fc.eta), np.asarray(fc.gamma))
+    assert bool(jnp.isfinite(fc.obs).all())
+
+    pooled = fc.summarise()
+    direct = forecast(model, params, res.final_particles, t_last,
+                      t_last + 1.0, key)
+    for name in ("t", "obs_mean", "obs_lower", "obs_upper", "eta_mean",
+                 "eta_lower", "eta_upper", "state_mean", "state_lower",
+                 "state_upper"):
+        np.testing.assert_array_equal(np.asarray(getattr(pooled, name)),
+                                      np.asarray(getattr(direct, name)),
+                                      err_msg=name)

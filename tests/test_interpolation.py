@@ -80,3 +80,28 @@ def test_paths_are_genealogically_consistent(key):
     uniq_start = len(np.unique(np.asarray(res.paths[0, :, 0])))
     uniq_end = len(np.unique(np.asarray(res.paths[-1, :, 0])))
     assert uniq_start <= uniq_end
+
+
+def test_interpolation_memory_bound_matches_arrays():
+    """The documented HBM bound (interpolation_filter docstring) counts
+    exactly the history arrays the filter materialises (VERDICT r4 #10)."""
+    import jax
+    import jax.numpy as jnp
+    from composablestatespacemodels_tpu import (interpolation_filter, linear,
+                                                simulate_regular)
+    from composablestatespacemodels_tpu.inference.interpolation import (
+        interpolation_memory_bytes)
+    from composablestatespacemodels_tpu.models import (ou_params, ou_process,
+                                                       parameters)
+
+    model = linear(ou_process(1))
+    params = parameters(jnp.log(0.3), ou_params(1.0, 0.5, 0.3, 1.0, 0.4))
+    sim = simulate_regular(model, params, jax.random.PRNGKey(0), 25, dt=1.0)
+    n, t, d = 64, 25, model.dim
+    res = interpolation_filter(model, params, sim.to_timeseries(), n,
+                               jax.random.PRNGKey(1))
+    paths_bytes = res.paths.size * res.paths.dtype.itemsize
+    # bound = pre-resample history + paths + int32 genealogy
+    assert interpolation_memory_bytes(t, n, d) == 2 * paths_bytes + t * n * 4
+    # sanity: the formula at the docstring's example shapes stays < 16 GB
+    assert interpolation_memory_bytes(1000, 280_000, 7) < 16 * 2**30
