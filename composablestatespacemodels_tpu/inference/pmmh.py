@@ -124,7 +124,7 @@ def make_pf_loglik(model: Model, data: TimeSeries, n_particles: int,
     #6; sweep in docs/performance.md).
 
     ``fused_sweep`` evaluates the likelihood through the fused PF sweep
-    kernel (:mod:`..ops.sweep_kernel`; TPU, n_particles <= 128,
+    kernel (:mod:`..ops.sweep_kernel`; TPU, n_particles <= 1024,
     exact-transition models, kernel-hook families): the whole T-step
     filter runs in ONE Pallas launch (minimum batch of 8 lane-width
     chains, the requested chain in row 0) -- ~2x single-chain PMMH
@@ -174,7 +174,7 @@ def make_pf_loglik_chains(model: Model, data: TimeSeries, n_particles: int,
     of the reference's per-chain ``BootstrapFilter`` Reader
     (package.scala:23-24) at MCMC shapes.  Statistically equivalent to
     ``vmap`` of :func:`make_pf_loglik`'s callable (different PRNG
-    streams); requires f32, ``n_particles <= 128``, exact-transition
+    streams); requires f32, ``n_particles <= 1024``, exact-transition
     SDEs and an observation family with the ``kernel_log_density`` hook.
     Feed to :func:`pmmh_chains` as ``pf_ll_chains=``.
 
@@ -555,18 +555,18 @@ def pilot_run(model: Model, params: Tree, data: TimeSeries, key,
     keep ``particle_counts`` short on backends with slow compiles (remote
     TPU: ~40s+ per shape).
 
-    With ``fused_sweep`` (TPU, exact-transition models), counts <= 128
+    With ``fused_sweep`` (TPU, exact-transition models), counts <= 1024
     run all repetitions as one batch of iid chains through the fused
     sweep kernel (ONE launch instead of a vmapped scan -- the
-    repetitions ARE independent chains); larger counts keep the vmapped
-    path.
+    repetitions ARE independent chains; counts > 128 span multiple lane
+    chunks per chain); larger counts keep the vmapped path.
 
     Returns a list of ``(n_particles, mean_ll, var_ll)``.
     """
     out = []
     for i, n in enumerate(particle_counts):
         k_n = jax.random.fold_in(key, i)
-        if fused_sweep and int(n) <= 128:
+        if fused_sweep and int(n) <= 1024:
             pf_all = make_pf_loglik_chains(model, data, int(n))
             b = -(-n_reps // 8) * 8
             params_b = jax.tree_util.tree_map(

