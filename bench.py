@@ -380,6 +380,75 @@ def bench_pmmh_chains_fused(n_chains: int = 256, n_particles: int = 100,
     return rate
 
 
+def bench_lgcp(n_particles: int = 1 << 17) -> float:
+    """Secondary recorded metric: flat fine-grid LGCP filter throughput
+    (inference/lgcp.py; reference ParticleFilter.scala:169-227) --
+    particle-slot-steps/sec over the union grid at precision=1, so a
+    regression in the LGCP scan (or its kernel resample path) shows in
+    the BENCH history (VERDICT r4 #7)."""
+    from composablestatespacemodels_tpu.inference.lgcp import (
+        _build_fine_grid)
+    from composablestatespacemodels_tpu.models import (brownian_params,
+                                                       parameters)
+    from composablestatespacemodels_tpu.utils.data import simulate_lgcp
+
+    model = cssm.lgcp(cssm.brownian_motion(1))
+    params = parameters(None, brownian_params(1.0, 0.05, 0.1))
+    events, _grid = simulate_lgcp(model, params, jax.random.PRNGKey(2),
+                                  0.0, 20.0)
+    data = events.to_timeseries()
+    import numpy as np
+    n_slots = _build_fine_grid(
+        np.asarray(data.ts, np.float64), 1)[0].shape[0]
+    key = (jax.random.key(0, impl="rbg")
+           if jax.default_backend() == "tpu" else jax.random.PRNGKey(0))
+    scheme = ("systematic-pallas" if jax.default_backend() == "tpu"
+              and n_particles % 1024 == 0 else "systematic")
+
+    def ll(k):
+        return cssm.lgcp_filter(model, params, data, n_particles, k,
+                                precision=1, resample=scheme).ll
+
+    float(ll(key))
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        float(ll(jax.random.fold_in(key, i)))
+        best = min(best, time.perf_counter() - t0)
+    rate = n_particles * n_slots / best
+    print(f"LGCP flat-grid filter: {rate:.3e} particle-slot-steps/s "
+          f"(N={n_particles}, K={n_slots} slots, {scheme})", file=sys.stderr)
+    return rate
+
+
+def bench_pmmh_fused_n512(n_obs: int = 400, n_iters: int = 100) -> float:
+    """Secondary recorded metric: fused-sweep PMMH at N=512 -- the
+    multi-chunk (4 lane-chunk) sweep tier (VERDICT r4 #2; the reference
+    pilot grid reaches N=2000, DetermineParameters.scala:22-45)."""
+    from composablestatespacemodels_tpu.models import perturb
+
+    model, params = flagship_model()
+    sim = cssm.simulate_regular(model, params, jax.random.PRNGKey(0), n_obs,
+                                dt=1.0)
+    pf_ll = cssm.make_pf_loglik(model, sim.to_timeseries(), 512,
+                                fused_sweep=True)
+    key = jax.random.key(0, impl="rbg")
+
+    def run(k):
+        return cssm.pmmh(k, params, pf_ll, perturb(0.05), n_iters).lls[-1]
+
+    float(run(key))
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        float(run(jax.random.fold_in(key, i + 1)))
+        best = min(best, time.perf_counter() - t0)
+    rate = n_iters / best
+    print(f"PMMH (fused sweep, N=512): {rate:.1f} iters/s at T={n_obs}",
+          file=sys.stderr)
+    return rate
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes")
@@ -425,6 +494,10 @@ def main():
              lambda: round(bench_pmmh_fused(), 1)),
             ("pmmh_chains_fused_sweep_iters_per_sec",
              lambda: round(bench_pmmh_chains_fused(), 1)),
+            ("pmmh_fused_sweep_n512_iters_per_sec",
+             lambda: round(bench_pmmh_fused_n512(), 1)),
+            ("lgcp_particle_steps_per_sec",
+             lambda: round(bench_lgcp())),
             ("sharded_particle_steps_per_sec",
              lambda: round(bench_sharded(n))),
         ]

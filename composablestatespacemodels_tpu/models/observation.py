@@ -279,6 +279,27 @@ class StudentsT(ObservationFamily):
         return make_consts, fn
 
 
+def _lgamma_f32(x):
+    """Mosaic-lowerable ``gammaln`` for x > 0 (elementwise mul/log/select
+    only -- no in-kernel ``lgamma`` intrinsic is relied upon).
+
+    Stirling's series at z >= 8 (three correction terms: the next term,
+    -1/(1680 z^7), is ~3e-10 at z = 8, far below the f32 ulp of
+    lgamma(8)); smaller arguments shift up through the recurrence
+    ``lgamma(x) = lgamma(x+8) - log(x (x+1) ... (x+7))`` (the product
+    stays < 2.7e9, within f32; for x >= 8 it can overflow to inf but is
+    select-masked).  Relative error ~f32 ulps across (0, inf)."""
+    z = jnp.where(x >= 8.0, x, x + 8.0)
+    prod = x
+    for i in range(1, 8):
+        prod = prod * (x + float(i))
+    corr = jnp.where(x >= 8.0, 0.0, jnp.log(prod))
+    zi = 1.0 / z
+    zi2 = zi * zi
+    series = zi * (1.0 / 12.0 + zi2 * (-1.0 / 360.0 + zi2 * (1.0 / 1260.0)))
+    return (z - 0.5) * jnp.log(z) - z + _HALF_LOG_2PI + series - corr
+
+
 @dataclasses.dataclass(frozen=True)
 class Beta(ObservationFamily):
     """y ~ Beta(alpha=exp(-gamma), beta=exp(scale)).
@@ -302,6 +323,24 @@ class Beta(ObservationFamily):
         a = self.link(gamma)
         b = jnp.broadcast_to(scale, jnp.shape(a))
         return jax.random.beta(key, a, b)
+
+    def kernel_log_density(self):
+        def make_consts(y, scale):
+            # gammaln(b), log y, log1p(-y) are per-step scalars computed
+            # outside; only the particle-dependent gammaln(a) and
+            # gammaln(a + b) need the in-kernel Stirling approx
+            b = scale
+            return jnp.stack([
+                jnp.log(y),
+                (b - 1.0) * jnp.log1p(-y) - gammaln(b),
+                b]).astype(jnp.float32)
+
+        def fn(gamma, c):
+            a = jnp.exp(-gamma)
+            return ((a - 1.0) * c[0] + c[1]
+                    + _lgamma_f32(a + c[2]) - _lgamma_f32(a))
+
+        return make_consts, fn
 
 
 @dataclasses.dataclass(frozen=True)

@@ -200,3 +200,51 @@ def test_fused_counts_vmap_packed_pmmh_shape(key):
         solo = systematic_counts_fused(w[i], tot[i], u[i])
         np.testing.assert_array_equal(np.asarray(batched[i]),
                                       np.asarray(solo), err_msg=f"row {i}")
+
+
+def test_beta_weight_hook_on_chip(key):
+    """Beta's in-kernel Stirling-lgamma weight hook (VERDICT r4 #6) on the
+    REAL Mosaic compiler: propagate_weights_t's fused weight row matches
+    the XLA log_density of the propagated block within f32 tolerance, and
+    a Beta fused bootstrap filter agrees with the plain path's ll within
+    MC error (Model.scala:339-353)."""
+    import composablestatespacemodels_tpu as cssm
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+    from composablestatespacemodels_tpu.models.observation import Beta
+    from composablestatespacemodels_tpu.ops.resample_kernel import (
+        propagate_weights_t)
+
+    n, d = 1 << 13, 2
+    x_t = 0.4 * jax.random.normal(jax.random.PRNGKey(8), (d, n), jnp.float32)
+    a = jnp.asarray([0.9, 0.0])
+    b = jnp.asarray([0.05, 0.0])
+    fc = jnp.asarray([1.0, 0.0])
+    fam = Beta()
+    make_consts, _ = fam.kernel_log_density()
+    consts = make_consts(jnp.asarray(0.37), jnp.asarray(2.0))
+    coefw = jnp.stack([a, b, jnp.zeros(d), fc], axis=1)
+    yw = propagate_weights_t(x_t, coefw, jnp.int32([11]), block=2048,
+                             weight_family=fam, weight_consts=consts,
+                             weight_row=d - 1)
+    ref = a[:, None] * x_t + b[:, None]
+    gamma = jnp.sum(fc[:, None] * ref, axis=0)
+    want = fam.log_density(gamma, jnp.asarray(0.37), jnp.asarray(2.0))
+    np.testing.assert_allclose(np.asarray(yw[d - 1]), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    model = cssm.beta(brownian_motion(1))
+    params = parameters(jnp.log(2.0), brownian_params(0.1, 0.1, 0.2))
+    sim = cssm.simulate_regular(model, params, jax.random.PRNGKey(0), 60,
+                                dt=1.0)
+    data = sim.to_timeseries()
+    lls_f = np.asarray([float(cssm.log_likelihood(
+        model, params, data, 4096, jax.random.fold_in(key, i),
+        resample="systematic-pallas-fused")) for i in range(4)])
+    lls_p = np.asarray([float(cssm.log_likelihood(
+        model, params, data, 4096, jax.random.fold_in(key, 10 + i)))
+        for i in range(4)])
+    joint_sd = np.sqrt(lls_f.var() / 4 + lls_p.var() / 4)
+    assert abs(lls_f.mean() - lls_p.mean()) < max(4 * joint_sd, 0.5), (
+        lls_f.mean(), lls_p.mean(), joint_sd)
