@@ -207,25 +207,33 @@ def bench_decompose(n_particles: int, n_steps: int = 1000) -> dict:
     return out
 
 
-def bench_sharded(n_particles: int, n_steps: int = 200) -> float:
-    """Secondary metric: the multi-chip filter path (transposed sharded scan,
-    distributed ppermute resampling, Pallas local fill) on a mesh over the
-    available devices -- on this image that is one chip, so the number
-    measures the distributed machinery's overhead at n_shards=1; on a pod
-    slice the same code scales N with aggregate HBM."""
+def bench_sharded(n_particles: int, n_steps: int = 200,
+                  resample: str = "systematic-pallas-fused") -> float:
+    """Secondary metric: the mesh-tier filter (``bootstrap_filter(mesh=)``)
+    on a mesh over the available devices -- on this image one chip.  With
+    the default fused scheme, n_shards == 1 delegates to the single-device
+    fully fused pipeline (parallel/sharded_filter.py), so this records
+    what a mesh user actually gets; ``resample='systematic'`` instead
+    forces the full distributed machinery (transposed sharded scan,
+    ppermute-ring resampling, Pallas local fill -- recorded separately as
+    ``sharded_machinery_*`` so regressions in the shard code stay
+    visible)."""
     from composablestatespacemodels_tpu.parallel import particle_mesh
 
     model, params = flagship_model()
     sim_key = jax.random.PRNGKey(0)
-    key = (jax.random.key(0, impl="rbg")
-           if jax.default_backend() == "tpu" else sim_key)
+    on_tpu = jax.default_backend() == "tpu"
+    key = jax.random.key(0, impl="rbg") if on_tpu else sim_key
+    if not (on_tpu and n_particles % 1024 == 0):
+        resample = "systematic"
     sim = cssm.simulate_regular(model, params, sim_key, n_steps, dt=1.0)
     data = sim.to_timeseries()
     mesh = particle_mesh()
 
     def ll(k):
         return cssm.bootstrap_filter(model, params, data, n_particles, k,
-                                     mesh=mesh, store="ll").ll
+                                     mesh=mesh, store="ll",
+                                     resample=resample).ll
 
     float(ll(key))
     best = float("inf")
@@ -234,7 +242,7 @@ def bench_sharded(n_particles: int, n_steps: int = 200) -> float:
         float(ll(jax.random.fold_in(key, i)))
         best = min(best, time.perf_counter() - t0)
     rate = n_particles * n_steps / best
-    print(f"sharded filter ({mesh.devices.size} device(s)): "
+    print(f"sharded filter ({mesh.devices.size} device(s), {resample}): "
           f"{rate:.3e} particle-steps/s", file=sys.stderr)
     return rate
 
@@ -500,6 +508,8 @@ def main():
              lambda: round(bench_lgcp())),
             ("sharded_particle_steps_per_sec",
              lambda: round(bench_sharded(n))),
+            ("sharded_machinery_particle_steps_per_sec",
+             lambda: round(bench_sharded(n, resample="systematic"))),
         ]
         for name, fn in secondaries:
             try:

@@ -819,6 +819,23 @@ def sharded_bootstrap_filter(model: Model, params: Tree, data: TimeSeries,
     if resample_comm not in ("distributed", "allgather"):
         raise ValueError(
             f"resample_comm={resample_comm!r}: 'distributed' or 'allgather'")
+    if (fused_propagate and mesh.shape[axis] == 1
+            and store in ("ll", None) and ess_threshold is None
+            and resample_comm == "distributed"
+            and n_particles % 1024 == 0):
+        # n_shards == 1 fast path: the distributed step pays a separate
+        # propagate(+weights) kernel round-trip per step because the ring
+        # fill assembles each shard's output across several launches -- but
+        # a 1-wide particle axis has no ring, so delegate to the
+        # single-device fully fused pipeline (resample + propagate + next
+        # weights in ONE kernel, ~20% faster at N=2^20; statistically
+        # equivalent, different PRNG stream).  Multi-shard keeps the
+        # per-shard fused propagate below.
+        from ..inference.filter import bootstrap_filter
+        return bootstrap_filter(
+            model, params, data, n_particles, key, t0=t0,
+            initial_state=initial_state, store=store or "ll",
+            resample="systematic-pallas-fused", interval=interval)
     local_n = n_particles // max(mesh.shape[axis], 1)
     if transposed is None:
         transposed = auto_transposed(local_n, resample_comm)

@@ -620,3 +620,26 @@ def test_sharded_pmmh_monitored_store_state_resume(tmp_path, lg_case, key):
     np.testing.assert_array_equal(np.asarray(res3.lls), np.asarray(res1.lls))
     np.testing.assert_array_equal(np.asarray(res3.states[:, :20]),
                                   np.asarray(res2.states))
+
+
+def test_sharded_fused_solo_delegates_to_single_device(lg_case, key):
+    """n_shards == 1 + fused scheme: the mesh tier delegates to the
+    single-device fully fused pipeline (no ring -> no reason to pay the
+    separate propagate kernel round-trip; VERDICT r4 #5), bit-identically
+    to calling bootstrap_filter without a mesh."""
+    from composablestatespacemodels_tpu import bootstrap_filter
+
+    model, params, data = lg_case
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    n = 1024
+    with pltpu.force_tpu_interpret_mode():
+        solo = bootstrap_filter(model, params, data, n, key,
+                                resample="systematic-pallas-fused",
+                                store="ll")
+        meshed = bootstrap_filter(model, params, data, n, key,
+                                  resample="systematic-pallas-fused",
+                                  store="ll", mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(meshed.ll),
+                                  np.asarray(solo.ll))
+    np.testing.assert_array_equal(np.asarray(meshed.final_particles),
+                                  np.asarray(solo.final_particles))

@@ -231,8 +231,13 @@ def test_beta_weight_hook_on_chip(key):
     ref = a[:, None] * x_t + b[:, None]
     gamma = jnp.sum(fc[:, None] * ref, axis=0)
     want = fam.log_density(gamma, jnp.asarray(0.37), jnp.asarray(2.0))
+    # Mosaic's log/exp are ~1e-5-relative; the Stirling (z-0.5)*ln z term
+    # (z up to ~14 here) magnifies that to ~1e-3 absolute on the
+    # log-weight (CPU pins the approximation itself at 1e-4,
+    # tests/test_observation.py) -- far below PF MC noise, as the ll
+    # agreement below confirms
     np.testing.assert_allclose(np.asarray(yw[d - 1]), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=2e-3, atol=2e-3)
 
     model = cssm.beta(brownian_motion(1))
     params = parameters(jnp.log(2.0), brownian_params(0.1, 0.1, 0.2))
