@@ -506,8 +506,12 @@ def main():
              lambda: round(bench_pmmh_fused_n512(), 1)),
             ("lgcp_particle_steps_per_sec",
              lambda: round(bench_lgcp())),
+            # fused tier at T=1000: comparable to the headline (T=200's
+            # ~40 ms dispatch+readback bias costs 0.2 ms/step) and reuses
+            # its compiled executable; the machinery tier keeps T=200 for
+            # continuity with the BENCH_r03/r04 history
             ("sharded_particle_steps_per_sec",
-             lambda: round(bench_sharded(n))),
+             lambda: round(bench_sharded(n, n_steps=1000))),
             ("sharded_machinery_particle_steps_per_sec",
              lambda: round(bench_sharded(n, resample="systematic"))),
         ]

@@ -512,8 +512,8 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
     ``store`` in {'ll', None} (per-step summaries would need the
     *unpropagated* resampled cloud, which this path never materialises).
     """
-    from ..ops.resample_kernel import (sorted_gather_resample_propagate_t,
-                                      systematic_counts)
+    from ..ops.resample_kernel import sorted_gather_resample_propagate_t
+    from ..ops.scan_kernel import systematic_counts_cols
 
     if store not in ("ll", None):
         raise ValueError(
@@ -620,14 +620,20 @@ def _filter_impl_t_fused(model: Model, params: Tree, data: TimeSeries,
 
         def yes(args):
             xp, wp = args
-            counts = systematic_counts(k_res, wp)
+            # counts go straight to the merge kernel's operand layouts
+            # (c_cols + maxima tiles) -- the flat [N] counts array never
+            # exists and the XLA transpose/pad/broadcast prepass shrinks
+            # to scalar work (VERDICT r4 #3).  Same uniform draw and
+            # bit-identical count values as systematic_counts(k_res, wp).
+            u = jax.random.uniform(k_res, (), wp.dtype)
+            cols = systematic_counts_cols(wp, jnp.sum(wp), u, block=kblock)
             if not weighted and d_pad:
                 xp = jnp.concatenate(
                     [xp, jnp.zeros((d_pad, n), dtype)], axis=0)
             out = sorted_gather_resample_propagate_t(
-                xp, counts, coef, seed, block=kblock,
+                xp, None, coef, seed, block=kblock,
                 weight_family=model.obs if weighted else None,
-                weight_consts=consts, weight_row=wrow)
+                weight_consts=consts, weight_row=wrow, counts_cols=cols)
             if not weighted and d_pad:
                 out = out[:d]
             return out, jnp.full((n,), 1.0 / n, dtype=dtype)

@@ -472,17 +472,7 @@ def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
     """
     n_blocks = n // block
     n_chunks = block // _LANE
-    edges = jnp.arange(n_blocks, dtype=jnp.int32) * block
     blockmax = counts.reshape(n_blocks, block)[:, -1]
-    first = jnp.sum((blockmax[None, :] <= edges[:, None]).astype(jnp.int32),
-                    axis=1)
-    last = jnp.sum(
-        (blockmax[None, :] <= edges[:, None] + (block - 1)).astype(jnp.int32),
-        axis=1)
-    first = jnp.clip(first, 0, n_blocks - 1).astype(jnp.int32)
-    last = jnp.clip(last, 0, n_blocks - 1).astype(jnp.int32)
-    base = jnp.where(first > 0, blockmax[jnp.maximum(first - 1, 0)],
-                     0).astype(jnp.int32)
 
     c_cols = counts.reshape(n_blocks, n_chunks, _LANE).transpose(0, 2, 1)
     pad = _LANE - n_chunks
@@ -502,6 +492,30 @@ def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
     else:
         mx_pad = mx
     mx_cols = jnp.broadcast_to(mx_pad[:, :, None], (n_blocks, s_rows, _LANE))
+
+    first, last, base, idx0, simple = _prepass_scalars(
+        blockmax, mx, n, block, dup_w)
+    return first, last, base, c_cols, mx_cols, idx0, simple
+
+
+def _prepass_scalars(blockmax, mx, n: int, block: int, dup_w: int):
+    """Scalar-prefetch prepass products from the per-block maxima alone:
+    input-block range [first, last], entering count ``base``, and the
+    windowed-duplication scalars (idx0, simple).  ``mx`` is the
+    [n_blocks, n_chunks] chunk maxima (``mx[:, -1] == blockmax``)."""
+    n_blocks = n // block
+    n_chunks = block // _LANE
+    big = jnp.iinfo(jnp.int32).max
+    edges = jnp.arange(n_blocks, dtype=jnp.int32) * block
+    first = jnp.sum((blockmax[None, :] <= edges[:, None]).astype(jnp.int32),
+                    axis=1)
+    last = jnp.sum(
+        (blockmax[None, :] <= edges[:, None] + (block - 1)).astype(jnp.int32),
+        axis=1)
+    first = jnp.clip(first, 0, n_blocks - 1).astype(jnp.int32)
+    last = jnp.clip(last, 0, n_blocks - 1).astype(jnp.int32)
+    base = jnp.where(first > 0, blockmax[jnp.maximum(first - 1, 0)],
+                     0).astype(jnp.int32)
 
     if dup_w:
         # windowed-duplication scalars, mirroring the kernel's level-1
@@ -530,6 +544,19 @@ def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
     else:
         idx0 = jnp.zeros((n_blocks, n_chunks), jnp.int32)
         simple = jnp.zeros((n_blocks,), jnp.int32)
+    return first, last, base, idx0, simple
+
+
+def _prepass_from_cols(counts_cols, n: int, block: int, dup_w: int):
+    """Prepass scalars from kernel-built count operands
+    (``scan_kernel.systematic_counts_cols``): the chunk maxima are lane 0
+    of the mx tiles, so only tiny [n_blocks, nc] slices touch XLA -- no
+    flat counts array exists anywhere."""
+    c_cols, mx_cols = counts_cols
+    n_chunks = block // _LANE
+    mx = mx_cols[:, :n_chunks, 0]                     # [n_blocks, nc]
+    first, last, base, idx0, simple = _prepass_scalars(
+        mx[:, -1], mx, n, block, dup_w)
     return first, last, base, c_cols, mx_cols, idx0, simple
 
 
@@ -599,24 +626,33 @@ def _check_block(n: int, block: int):
 @partial(jax.jit, static_argnames=("block", "interpret", "dup_window"))
 def sorted_gather_resample_t(x_t, counts, block: int = 1024,
                              interpret: bool = False,
-                             dup_window: int | None = None):
+                             dup_window: int | None = None,
+                             counts_cols=None):
     """Transposed-layout core: ``y_t[:, j] = x_t[:, anc_j]``.
 
     Args:
       x_t: [d, N] particle columns (N divisible by ``block``).
       counts: [N] nondecreasing int32 cumulative position counts with
-        ``counts[-1] == N``.
+        ``counts[-1] == N``, or None with ``counts_cols``.
       block: tile size (multiple of 128; block/128 <= 128).
       interpret: run in Pallas interpreter mode (CPU testing).
       dup_window: windowed-duplication width in source groups (None =
         the CSSM_DUP_WINDOW env default, 0 = disable the fast path).
+      counts_cols: optional pre-built ``(c_cols, mx_cols)`` operand pair
+        from :func:`..ops.scan_kernel.systematic_counts_cols` -- the flat
+        counts array then never exists and the XLA prepass shrinks to
+        scalar work on the maxima.
     """
     d, n = x_t.shape
     _check_block(n, block)
     dw = _resolve_dup_window(block, dup_window)
-    counts = counts.astype(jnp.int32)
-    first, last, base, c_cols, mx_cols, idx0, simple = _merge_prepass(
-        counts, n, block, dw)
+    if counts_cols is not None:
+        first, last, base, c_cols, mx_cols, idx0, simple = (
+            _prepass_from_cols(counts_cols, n, block, dw))
+    else:
+        counts = counts.astype(jnp.int32)
+        first, last, base, c_cols, mx_cols, idx0, simple = _merge_prepass(
+            counts, n, block, dw)
     in_specs, out_specs, scratch = _merge_specs(
         d, block, block // _LANE, x_t.dtype, dw)
 
@@ -645,7 +681,8 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
                                        weight_family=None,
                                        weight_consts=None,
                                        weight_row: int | None = None,
-                                       dup_window: int | None = None):
+                                       dup_window: int | None = None,
+                                       counts_cols=None):
     """Fused resample + diagonal affine-Gaussian propagate, transposed.
 
     ``y_t[:, j] = a * x_t[:, anc_j] + b + s * z_j`` with z ~ N(0, 1) drawn
@@ -679,11 +716,15 @@ def sorted_gather_resample_propagate_t(x_t, counts, coef, seed,
     if coef.shape != (d, ncol):
         raise ValueError(f"coef must be [d={d}, {ncol}], got {coef.shape}")
     dw = _resolve_dup_window(block, dup_window)
-    counts = counts.astype(jnp.int32)
     coef = coef.astype(x_t.dtype)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    first, last, base, c_cols, mx_cols, idx0, simple = _merge_prepass(
-        counts, n, block, dw)
+    if counts_cols is not None:
+        first, last, base, c_cols, mx_cols, idx0, simple = (
+            _prepass_from_cols(counts_cols, n, block, dw))
+    else:
+        counts = counts.astype(jnp.int32)
+        first, last, base, c_cols, mx_cols, idx0, simple = _merge_prepass(
+            counts, n, block, dw)
     in_specs, out_specs, scratch = _merge_specs(
         d, block, block // _LANE, x_t.dtype, dw)
     # coef (+ weight consts) ride in front of the pipelined tensor operands

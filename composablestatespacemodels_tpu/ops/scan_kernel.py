@@ -122,21 +122,18 @@ def _cummax_kernel(x_ref, out_ref, carry_ref, *, gaxis: int = 0):
     carry_ref[0, 0] = jnp.max(out)
 
 
-def _counts_kernel(u_ref, w_ref, out_ref, carryf_ref, carrym_ref, *,
-                   n: int, last_pos, gaxis: int = 0):
-    """Fused systematic-counts pipeline: normalise (by the staged total),
-    MXU prefix sum, ``clip(ceil(n*cdf - u), 0, n)``, the ``counts[-1] = n``
-    guard, and the exact int32 running-max monotoniser -- one HBM read of
-    the weights and one write of the counts instead of the ~9 intermediate
-    4 MB round-trips of the op-by-op pipeline.
+def _counts_compute(u_ref, w, g, carryf_ref, carrym_ref, n: int, last_pos):
+    """Shared fused systematic-counts computation: normalise (by the
+    staged total), MXU prefix sum, ``clip(ceil(n*cdf - u), 0, n)``, the
+    ``counts[-1] = n`` guard, and the exact int32 running-max monotoniser.
+    Returns the monotonised [R, 128] block (callers write it and update
+    ``carrym_ref``).
 
     Bit-identical to ``clip(ceil(n*cumsum(w/total) - u), 0, n)`` with
     ``cumsum = prefix_sum``: the divide, matmul prefix (same
     Precision.HIGHEST), ceil/clip and int cummax are the same operations
     in the same order.
     """
-    g = pl.program_id(gaxis)
-
     @pl.when(g == 0)
     def _():
         carryf_ref[0, 0] = jnp.float32(0.0)
@@ -155,7 +152,7 @@ def _counts_kernel(u_ref, w_ref, out_ref, carryf_ref, carrym_ref, *,
     # pattern the merge kernel's level-1 count runs on chip.
     total = u_ref[0:1, :]
     u = u_ref[1:2, :]
-    x = w_ref[...] / total                           # [R, 128]
+    x = w / total                                    # [R, 128]
     r = x.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
@@ -181,9 +178,57 @@ def _counts_kernel(u_ref, w_ref, out_ref, carryf_ref, carrym_ref, *,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
-    out = _cummax_body(c, r, rowi, lane, carrym_ref[0, 0])
+    return _cummax_body(c, r, rowi, lane, carrym_ref[0, 0])
+
+
+def _counts_kernel(u_ref, w_ref, out_ref, carryf_ref, carrym_ref, *,
+                   n: int, last_pos, gaxis: int = 0):
+    """Fused systematic-counts pipeline (see :func:`_counts_compute`) --
+    one HBM read of the weights and one write of the counts instead of
+    the ~9 intermediate 4 MB round-trips of the op-by-op pipeline."""
+    g = pl.program_id(gaxis)
+    out = _counts_compute(u_ref, w_ref[...], g, carryf_ref, carrym_ref,
+                          n, last_pos)
     out_ref[...] = out
     carrym_ref[0, 0] = jnp.max(out)
+
+
+def _counts_cols_kernel(u_ref, w_ref, cols_ref, mx_ref, carryf_ref,
+                        carrym_ref, *, n: int, last_pos, block: int):
+    """Fused counts emitted DIRECTLY in the merge kernel's operand
+    layouts: per merge-block the column-packed counts tile
+    (``c_cols[b][s, m] = counts[block*b + 128*m + s]``, lanes >= n_chunks
+    zero) and the sublane-major lane-replicated chunk maxima
+    (``mx_cols``, padding rows INT32_MAX) -- exactly
+    ``resample_kernel._merge_prepass``'s products, built while the counts
+    block is still in VMEM.  Kills the flat [N] counts HBM round-trip
+    plus the XLA transpose/pad/broadcast passes of the prepass (the
+    in-kernel [nc, 128] transposes run here, OFF the merge kernel's
+    critical path -- putting them INSIDE the merge kernel measured +0.05
+    ms/step, CLAUDE.md round-4 negative results).
+    """
+    g = pl.program_id(0)
+    out = _counts_compute(u_ref, w_ref[...], g, carryf_ref, carrym_ref,
+                          n, last_pos)
+    carrym_ref[0, 0] = jnp.max(out)
+    r = out.shape[0]
+    nc = block // _LANE
+    s_rows = max(-(-nc // 8) * 8, 8)
+    c_lanes = max(nc, _LANE)
+    big = jnp.iinfo(jnp.int32).max
+    for b in range((r * _LANE) // block):
+        bl = out[b * nc:(b + 1) * nc, :]             # [nc, 128] row-major
+        tr = jnp.transpose(bl)                       # [128, nc] col-packed
+        if c_lanes > nc:
+            tr = jnp.concatenate(
+                [tr, jnp.zeros((_LANE, c_lanes - nc), jnp.int32)], axis=1)
+        cols_ref[b] = tr
+        mxt = jnp.broadcast_to(bl[:, _LANE - 1:_LANE], (nc, _LANE))
+        if s_rows > nc:
+            mxt = jnp.concatenate(
+                [mxt, jnp.full((s_rows - nc, _LANE), big, jnp.int32)],
+                axis=0)
+        mx_ref[b] = mxt
 
 
 def _counts_kernel_packed(u_ref, w_ref, out_ref, *, n: int, ri: int,
@@ -473,6 +518,95 @@ def systematic_counts_fused(w, total, u, n_out: int | None = None,
     scal = scal.at[1, :].set(jnp.asarray(u, jnp.float32))
     out = _counts_core(n_out, last_pos, block_rows, interpret)(scal, x)
     return out.reshape(-1)[:m]
+
+
+def _cols_layout_xla(counts, n: int, block: int):
+    """XLA construction of the merge kernel's count operands from flat
+    counts -- the exact ops of ``resample_kernel._merge_prepass`` (c_cols
+    transpose/pad, INT32_MAX-padded lane-replicated maxima), kept as the
+    CPU fallback and the bit-compare reference for the cols kernel."""
+    n_blocks = n // block
+    n_chunks = block // _LANE
+    c_cols = counts.reshape(n_blocks, n_chunks, _LANE).transpose(0, 2, 1)
+    pad = _LANE - n_chunks
+    if pad > 0:
+        c_cols = jnp.pad(c_cols, ((0, 0), (0, 0), (0, pad)))
+    s_rows = max(-(-n_chunks // 8) * 8, 8)
+    mx = c_cols[:, _LANE - 1, :n_chunks]
+    big = jnp.iinfo(jnp.int32).max
+    if s_rows > n_chunks:
+        mx_pad = jnp.concatenate(
+            [mx, jnp.full((n_blocks, s_rows - n_chunks), big, jnp.int32)],
+            axis=1)
+    else:
+        mx_pad = mx
+    mx_cols = jnp.broadcast_to(mx_pad[:, :, None],
+                               (n_blocks, s_rows, _LANE))
+    return c_cols, mx_cols
+
+
+@partial(jax.jit, static_argnames=("block", "n_out", "block_rows",
+                                   "interpret"))
+def systematic_counts_cols(w, total, u, block: int,
+                           n_out: int | None = None,
+                           block_rows: int = 256,
+                           interpret: bool = False):
+    """Monotone systematic counts emitted directly as the merge kernel's
+    operands ``(c_cols [n_blocks, 128, C], mx_cols [n_blocks, S, 128])``.
+
+    One Pallas pass from the weights: the flat [N] counts array is never
+    materialised in HBM, and the prepass's XLA transpose / pad / maxima
+    broadcast (a ~5x-padded write at block=4096) disappear -- the counts
+    values and both layouts are BIT-IDENTICAL to
+    ``_cols_layout_xla(systematic_counts_fused(w, total, u))`` (gated in
+    tests and on chip).  Non-TPU backends take that op-by-op fallback.
+    Feed to ``sorted_gather_resample[_propagate]_t(counts_cols=...)``.
+    NOT vmap-safe (the fused merge path is never vmapped; chain batching
+    rides the sweep kernel).
+    """
+    m = w.shape[0]
+    n_out = m if n_out is None else n_out
+    if m % block:
+        raise ValueError(f"N={m} must be divisible by block={block}")
+    if jax.default_backend() != "tpu" and not interpret:
+        counts = systematic_counts_fused(w, total, u, n_out=n_out,
+                                         interpret=interpret)
+        return _cols_layout_xla(counts, m, block)
+    nc = block // _LANE
+    rows_total = m // _LANE
+    r = min(block_rows, rows_total)
+    r = max(nc, r - r % nc)
+    tile = _LANE * r
+    x = _pad_rows(w.astype(jnp.float32), r, jnp.float32)
+    last_pos = ((m - 1) // tile, ((m - 1) % tile) // _LANE, (m - 1) % _LANE)
+    scal = jnp.zeros((8, _LANE), jnp.float32)
+    scal = scal.at[0, :].set(jnp.asarray(total, jnp.float32))
+    scal = scal.at[1, :].set(jnp.asarray(u, jnp.float32))
+    rows_pad = x.shape[0]
+    nb_total = (rows_pad * _LANE) // block
+    nb_per = tile // block
+    s_rows = max(-(-nc // 8) * 8, 8)
+    c_lanes = max(nc, _LANE)
+    cols, mx = pl.pallas_call(
+        partial(_counts_cols_kernel, n=n_out, last_pos=last_pos,
+                block=block),
+        grid=(rows_pad // r,),
+        in_specs=[pl.BlockSpec((8, _LANE), lambda g: (0, 0)),
+                  pl.BlockSpec((r, _LANE), lambda g: (g, 0))],
+        out_specs=[pl.BlockSpec((nb_per, _LANE, c_lanes),
+                                lambda g: (g, 0, 0)),
+                   pl.BlockSpec((nb_per, s_rows, _LANE),
+                                lambda g: (g, 0, 0))],
+        out_shape=(jax.ShapeDtypeStruct((nb_total, _LANE, c_lanes),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((nb_total, s_rows, _LANE),
+                                        jnp.int32)),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(scal, x)
+    n_blocks = m // block
+    return cols[:n_blocks], mx[:n_blocks]
 
 
 @partial(jax.jit, static_argnames=("block_rows", "interpret"))

@@ -253,3 +253,34 @@ def test_beta_weight_hook_on_chip(key):
     joint_sd = np.sqrt(lls_f.var() / 4 + lls_p.var() / 4)
     assert abs(lls_f.mean() - lls_p.mean()) < max(4 * joint_sd, 0.5), (
         lls_f.mean(), lls_p.mean(), joint_sd)
+
+
+def test_counts_cols_kernel_bit_match_on_chip(key):
+    """The cols-emitting counts kernel (VERDICT r4 #3 fold) on the REAL
+    Mosaic compiler: bit-identical to the flat fused counts + XLA layout
+    across weight regimes and block sizes (in-kernel transpose/concat are
+    exercised here on real tiling)."""
+    from composablestatespacemodels_tpu.ops.scan_kernel import (
+        _cols_layout_xla, systematic_counts_cols, systematic_counts_fused)
+
+    m = 1 << 20
+    regimes = {
+        "uniform": jnp.ones((m,)),
+        "mild": jnp.exp(0.5 * jax.random.normal(key, (m,))),
+        "heavy": jax.random.exponential(jax.random.fold_in(key, 1),
+                                        (m,)) ** 4,
+        "degenerate": jnp.zeros((m,)).at[m // 3].set(1.0),
+    }
+    for block in (4096, 2048):
+        for name, w in regimes.items():
+            u = jax.random.uniform(jax.random.fold_in(key, 7), ())
+            total = jnp.sum(w)
+            cols, mx = systematic_counts_cols(w, total, u, block=block)
+            flat = systematic_counts_fused(w, total, u)
+            cols_ref, mx_ref = _cols_layout_xla(flat, m, block)
+            np.testing.assert_array_equal(
+                np.asarray(cols), np.asarray(cols_ref),
+                err_msg=f"cols {name} block={block}")
+            np.testing.assert_array_equal(
+                np.asarray(mx), np.asarray(mx_ref),
+                err_msg=f"mx {name} block={block}")
