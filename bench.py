@@ -508,11 +508,14 @@ def main():
              lambda: round(bench_lgcp())),
             # fused tier at T=1000: comparable to the headline (T=200's
             # ~40 ms dispatch+readback bias costs 0.2 ms/step) and reuses
-            # its compiled executable; the machinery tier keeps T=200 for
-            # continuity with the BENCH_r03/r04 history
-            ("sharded_particle_steps_per_sec",
+            # its compiled executable.  The r03/r04 key
+            # sharded_particle_steps_per_sec KEEPS its full-machinery
+            # T=200 semantics so the BENCH history stays a like-for-like
+            # series; the n_shards==1 delegation lands under the new
+            # sharded_fused_* key.
+            ("sharded_fused_particle_steps_per_sec",
              lambda: round(bench_sharded(n, n_steps=1000))),
-            ("sharded_machinery_particle_steps_per_sec",
+            ("sharded_particle_steps_per_sec",
              lambda: round(bench_sharded(n, resample="systematic"))),
         ]
         for name, fn in secondaries:

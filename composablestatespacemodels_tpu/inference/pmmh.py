@@ -317,11 +317,19 @@ def _seed_latent(init: PmmhState, pf_ll, key, store_state: bool) -> PmmhState:
     first PF's sampled state.
     """
     fresh = isinstance(init.state, tuple) and init.state == ()
-    if not store_state or not fresh:
+    if not store_state:
+        # a store_state checkpoint resumed with the flag off: drop the
+        # latent carry rather than tree_map an array against ()
+        return init if fresh else dataclasses.replace(init, state=())
+    if not fresh:
         return init
-    shape = jax.eval_shape(lambda k, p: pf_ll(k, p)[1], key, init.params)
+    shape = jax.eval_shape(lambda k, p: pf_ll(k, p), key, init.params)
+    if not (isinstance(shape, tuple) and len(shape) == 2):
+        raise ValueError(
+            "store_state=True requires an evaluator returning (ll, state) "
+            "-- build it with make_pf_loglik(..., store_state=True)")
     zeros = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shape)
+        lambda s: jnp.zeros(s.shape, s.dtype), shape[1])
     return dataclasses.replace(init, state=zeros)
 
 
@@ -454,10 +462,15 @@ def _pmmh_chains_fused(key, init_params, pf_ll_chains, proposal, n_iters,
     if store_state:
         # zeros never reach the output: the first proposal is always
         # accepted (initial ll = -1e30), overwriting the carry
-        shape = jax.eval_shape(lambda k, p: pf_ll_chains(k, p)[1],
+        shape = jax.eval_shape(lambda k, p: pf_ll_chains(k, p),
                                key, params0)
+        if not (isinstance(shape, tuple) and len(shape) == 2):
+            raise ValueError(
+                "store_state=True requires an evaluator returning "
+                "(ll, state) -- build it with "
+                "make_pf_loglik_chains(..., store_state=True)")
         st0 = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shape)
+            lambda s: jnp.zeros(s.shape, s.dtype), shape[1])
     keys = jax.random.split(key, n_iters)
     init = (params0, jnp.full((n_chains,), _INIT_LL, ftype), st0,
             jnp.zeros((n_chains,), jnp.int32))

@@ -470,28 +470,17 @@ def _merge_prepass(counts, n: int, block: int, dup_w: int = 0):
     groups -- slots at/after the two-block cmax are masked in the kernel,
     so their span is clamped out of the test).
     """
+    from .scan_kernel import _cols_layout_xla
+
     n_blocks = n // block
     n_chunks = block // _LANE
     blockmax = counts.reshape(n_blocks, block)[:, -1]
-
-    c_cols = counts.reshape(n_blocks, n_chunks, _LANE).transpose(0, 2, 1)
-    pad = _LANE - n_chunks
-    if pad > 0:
-        c_cols = jnp.pad(c_cols, ((0, 0), (0, 0), (0, pad)))
-
-    # sublane-major chunk maxima, replicated along lanes, for the kernel's
-    # level-1 count ([S, 128] per block; padding rows INT32_MAX so they
-    # never satisfy `max <= q`).  S is the sublane-aligned chunk count.
-    s_rows = max(-(-n_chunks // 8) * 8, 8)
+    # column-packed counts + sublane-major lane-replicated chunk maxima
+    # ([S, 128] per block, padding rows INT32_MAX so they never satisfy
+    # `max <= q`) -- the SAME layout builder the cols-emitting counts
+    # kernel is bit-gated against (single producer)
+    c_cols, mx_cols = _cols_layout_xla(counts, n, block)
     mx = c_cols[:, _LANE - 1, :n_chunks]                  # [n_blocks, nc]
-    big = jnp.iinfo(jnp.int32).max
-    if s_rows > n_chunks:
-        mx_pad = jnp.concatenate(
-            [mx, jnp.full((n_blocks, s_rows - n_chunks), big, jnp.int32)],
-            axis=1)
-    else:
-        mx_pad = mx
-    mx_cols = jnp.broadcast_to(mx_pad[:, :, None], (n_blocks, s_rows, _LANE))
 
     first, last, base, idx0, simple = _prepass_scalars(
         blockmax, mx, n, block, dup_w)

@@ -147,7 +147,11 @@ def _make_sweep_kernel(weight_fn, d: int, b: int, n: int, n_steps: int):
         for k in range(d):
             gamma = gamma + design_ref[t, k] * x[k * b:(k + 1) * b, :]
 
-        logw = weight_fn(gamma, _ChainConsts(wc_blk[0])) * mf
+        # select-mask (NOT multiply): a family whose consts are singular
+        # at the masked y_safe placeholder (Beta: log(0) = -inf) would
+        # turn lw * 0 into NaN and poison the ll from this step on
+        logw = jnp.where(mf > 0, weight_fn(gamma, _ChainConsts(wc_blk[0])),
+                         0.0)
         logw = jnp.where(valid, logw, jnp.float32(-1e30))
 
         maxw = _lane_reduce(logw, jnp.maximum, None)  # [B, 128] replicated
@@ -256,7 +260,9 @@ def _make_sweep_kernel_multi(weight_fn, d: int, b: int, n: int,
             gamma = jnp.zeros((b, _LANE), jnp.float32)
             for j in range(d):
                 gamma = gamma + design_ref[t, j] * xc[j * b:(j + 1) * b, :]
-            lw = weight_fn(gamma, consts) * mf
+            # select-mask, not multiply: see _make_sweep_kernel (masked
+            # steps with y-singular consts, e.g. Beta's log(0) = -inf)
+            lw = jnp.where(mf > 0, weight_fn(gamma, consts), 0.0)
             logws.append(jnp.where(lane + c * _LANE < n, lw,
                                    jnp.float32(-1e30)))
 

@@ -198,6 +198,11 @@ def sharded_pmmh(model: Model, init_params: Tree, data: TimeSeries,
             init_state,
             state=jnp.zeros((mesh.shape[CHAIN_AXIS], model.dim),
                             jnp.result_type(float)))
+    elif not store_state and not isinstance(init_state.state, tuple):
+        # store_state checkpoint resumed with the flag off: drop the
+        # latent carry (the MH step would otherwise tree_map an array
+        # against () and die with an obscure TypeError)
+        init_state = dataclasses.replace(init_state, state=())
     if transposed is None:
         local_n = n_particles // max(mesh.shape[PARTICLE_AXIS], 1)
         transposed = auto_transposed(local_n)

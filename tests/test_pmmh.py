@@ -296,3 +296,48 @@ def test_metrop_states_json_roundtrip(tmp_path, lg_setup, key):
     np.testing.assert_allclose(
         np.asarray(stacked.value.scale), np.asarray(res.params.value.scale),
         rtol=1e-6)
+
+
+def test_store_state_requires_state_evaluator(key):
+    """store_state=True with an evaluator that returns a bare ll must
+    raise a clear ValueError (round-5 review finding), on both the
+    single-chain and fused-chains tiers."""
+    import composablestatespacemodels_tpu as cssm
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters, perturb)
+
+    model = cssm.linear(brownian_motion(1))
+    p0 = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = cssm.simulate_regular(model, p0, jax.random.PRNGKey(0), 8, dt=0.5)
+    data = sim.to_timeseries()
+    pf_ll = cssm.make_pf_loglik(model, data, 32)          # no store_state
+    with pytest.raises(ValueError, match="store_state"):
+        cssm.pmmh(key, p0, pf_ll, perturb(0.02), 3, store_state=True)
+    pf_all = cssm.make_pf_loglik_chains(model, data, 64)  # no store_state
+    with pytest.raises(ValueError, match="store_state"):
+        cssm.pmmh_chains(key, p0, None, perturb(0.02), 3, 8,
+                         pf_ll_chains=pf_all, store_state=True)
+
+
+def test_store_state_checkpoint_resumed_without_flag(key):
+    """A store_state PmmhState resumed with the flag off drops the latent
+    carry instead of dying in a tree_map TypeError (round-5 review
+    finding)."""
+    import composablestatespacemodels_tpu as cssm
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters, perturb)
+
+    model = cssm.linear(brownian_motion(1))
+    p0 = parameters(jnp.log(0.5), brownian_params(0.2, 0.25, 0.3))
+    sim = cssm.simulate_regular(model, p0, jax.random.PRNGKey(0), 8, dt=0.5)
+    data = sim.to_timeseries()
+    pf_ll = cssm.make_pf_loglik(model, data, 32, store_state=True)
+    res, fin = cssm.pmmh(key, p0, pf_ll, perturb(0.02), 4,
+                         store_state=True, return_state=True)
+    assert res.states.shape == (4, model.dim)
+    pf_plain = cssm.make_pf_loglik(model, data, 32)
+    cont = cssm.pmmh(key, p0, pf_plain, perturb(0.02), 3, init_state=fin)
+    assert cont.states is None
+    assert bool(jnp.isfinite(cont.lls).all())

@@ -643,3 +643,19 @@ def test_sharded_fused_solo_delegates_to_single_device(lg_case, key):
                                   np.asarray(solo.ll))
     np.testing.assert_array_equal(np.asarray(meshed.final_particles),
                                   np.asarray(solo.final_particles))
+
+
+def test_sharded_store_state_checkpoint_resumed_without_flag(lg_case, key):
+    """A mesh store_state checkpoint resumed with the flag off drops the
+    latent carry instead of dying in a tree_map TypeError (round-5
+    review finding)."""
+    model, params, data = lg_case
+    mesh = make_mesh(2, 4)
+    res, fin = sharded_pmmh(model, params, data, 256, key, 10, mesh,
+                            proposal=perturb(0.02), store_state=True,
+                            return_state=True)
+    assert res.states.shape == (2, 10, model.dim)
+    cont = sharded_pmmh(model, params, data, 256, key, 5, mesh,
+                        proposal=perturb(0.02), init_state=fin)
+    assert cont.states is None
+    assert bool(jnp.isfinite(cont.lls).all())

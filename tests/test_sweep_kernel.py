@@ -56,7 +56,7 @@ def _ref_sweep(x0, coef, design, wconsts, mask, weight_fn, n):
         x = a * x + bb  # z == 0 in interpret mode
         mf = jnp.float32(mask[t])
         gamma = jnp.einsum("k,bkl->bl", design[t], x)
-        logw = weight_fn(gamma, C(wconsts[t])) * mf
+        logw = jnp.where(mf > 0, weight_fn(gamma, C(wconsts[t])), 0.0)
         logw = jnp.where(valid, logw, -1e30)
         maxw = _roll_reduce(logw, jnp.maximum)
         u = jnp.where(valid, jnp.exp(logw - maxw), 0.0)
@@ -322,7 +322,7 @@ def _ref_sweep_multi(x0, coef, design, wconsts, mask, weight_fn, n):
         logws = []
         for c in range(k):
             gamma = jnp.einsum("k,bkl->bl", design[t], xs[c])
-            lw = weight_fn(gamma, C(wconsts[t])) * mf
+            lw = jnp.where(mf > 0, weight_fn(gamma, C(wconsts[t])), 0.0)
             logws.append(jnp.where(lane + c * _LANE < n, lw, -1e30))
         maxw = _roll_reduce(logws[0], jnp.maximum)
         for c in range(1, k):
@@ -467,3 +467,28 @@ def test_sweep_multi_chunk_group_loop(key):
                                           np.asarray(ll_g))
             np.testing.assert_array_equal(np.asarray(xf[sl]),
                                           np.asarray(xf_g))
+
+
+def test_beta_sweep_with_masked_observations_finite(key):
+    """Masked observations on the sweep tier with a family whose consts
+    are singular at the masked placeholder (Beta: log(y_safe=0) = -inf)
+    must contribute exactly zero, not NaN (the kernels select-mask the
+    weights; a multiply-mask turned -inf * 0 into NaN and poisoned the
+    ll from that step on -- round-5 review finding)."""
+    import composablestatespacemodels_tpu as cssm
+    from composablestatespacemodels_tpu.models import (brownian_motion,
+                                                       brownian_params,
+                                                       parameters)
+
+    model = cssm.beta(brownian_motion(1))
+    p0 = parameters(jnp.log(2.0), brownian_params(0.1, 0.1, 0.2))
+    sim = cssm.simulate_regular(model, p0, jax.random.PRNGKey(0), 10, dt=1.0)
+    data = sim.to_timeseries().knock_out(3.0, 6.0)
+    assert not bool(data.mask.all())
+    pf_all = cssm.make_pf_loglik_chains(model, data, 64)
+    params_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                   (8,) + jnp.shape(x)), p0)
+    with pltpu.force_tpu_interpret_mode():
+        ll = pf_all(key, params_b)
+    assert bool(jnp.isfinite(ll).all()), ll
