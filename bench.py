@@ -237,7 +237,7 @@ def bench_sharded(n_particles: int, n_steps: int = 200,
 
     float(ll(key))
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         t0 = time.perf_counter()
         float(ll(jax.random.fold_in(key, i)))
         best = min(best, time.perf_counter() - t0)
@@ -268,7 +268,7 @@ def bench_pmmh(n_particles: int = 100, n_obs: int = 400,
 
     run(key).block_until_ready()
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         k = jax.random.fold_in(key, i + 1)
         t0 = time.perf_counter()
         float(run(k))
@@ -310,7 +310,7 @@ def bench_pmmh_chains(n_chains: int = 256, n_particles: int = 100,
 
     float(jnp.sum(run(key)))
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         k = jax.random.fold_in(key, i + 1)
         t0 = time.perf_counter()
         float(jnp.sum(run(k)))
@@ -328,7 +328,11 @@ def bench_pmmh_fused(n_particles: int = 100, n_obs: int = 400,
     """Secondary recorded metric: single-chain PMMH iterations/sec with
     the fused sweep likelihood (make_pf_loglik(fused_sweep=True): the
     whole T-step filter in one kernel launch per iteration; measured 3x
-    the XLA-scan path at the reference shape)."""
+    the XLA-scan path at the reference shape).
+
+    All secondaries time best-of-3: one stalled dispatch through the
+    tunnel skews best-of-2 badly (observed here: 90.4 recorded vs a
+    same-session 212 -- a 2.3x artifact); a third run costs seconds."""
     from composablestatespacemodels_tpu.models import perturb
 
     model, params = flagship_model()
@@ -343,7 +347,7 @@ def bench_pmmh_fused(n_particles: int = 100, n_obs: int = 400,
 
     float(run(key))
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         t0 = time.perf_counter()
         float(run(jax.random.fold_in(key, i + 1)))
         best = min(best, time.perf_counter() - t0)
@@ -375,7 +379,7 @@ def bench_pmmh_chains_fused(n_chains: int = 256, n_particles: int = 100,
 
     float(jnp.sum(run(key)))
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         k = jax.random.fold_in(key, i + 1)
         t0 = time.perf_counter()
         float(jnp.sum(run(k)))
@@ -419,7 +423,7 @@ def bench_lgcp(n_particles: int = 1 << 17) -> float:
 
     float(ll(key))
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         t0 = time.perf_counter()
         float(ll(jax.random.fold_in(key, i)))
         best = min(best, time.perf_counter() - t0)
@@ -447,7 +451,7 @@ def bench_pmmh_fused_n512(n_obs: int = 400, n_iters: int = 100) -> float:
 
     float(run(key))
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         t0 = time.perf_counter()
         float(run(jax.random.fold_in(key, i + 1)))
         best = min(best, time.perf_counter() - t0)
