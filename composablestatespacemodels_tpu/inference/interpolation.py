@@ -8,7 +8,10 @@ TPU design: store the *pre-resample* states ``[T, N, d]`` and the per-step
 resampling indices ``[T, N]`` during one forward ``lax.scan``, then
 reconstruct the surviving ancestral paths with a backward index scan -- the
 standard genealogy trick.  Total memory O(T*N*d) with zero path copying
-inside the filter loop.
+inside the filter loop.  ``store='summary'`` goes further: only the
+``[T, N]`` int32 genealogy is stored and a second scan rematerialises each
+step's cloud from the same PRNG keys (O(T*N) memory, one extra propagate
+pass) -- counter-based ``jax.random`` makes replay free of state.
 """
 
 from __future__ import annotations
@@ -58,9 +61,10 @@ class InterpolationResult:
 
 
 @partial(jax.jit, static_argnames=("model", "n_particles", "resample",
-                                   "interval"))
+                                   "interval", "store"))
 def _interp_impl(model: Model, params: Tree, data: TimeSeries,
-                 n_particles: int, key, t0, resample: str, interval: float):
+                 n_particles: int, key, t0, resample: str, interval: float,
+                 store: str = "path"):
     from .filter import credible_interval_eta, credible_interval_state
 
     resample_fn = rs.get_scheme(resample)
@@ -90,15 +94,21 @@ def _interp_impl(model: Model, params: Tree, data: TimeSeries,
 
         idx = jnp.where(mask, resample_fn(k_res, w), jnp.arange(n))
         x2 = x1[idx]
-        # store pre-resample states + the genealogy indices
-        return (x2, t, ll1, ess1), (x1, idx, ll1, ess1)
+        # store pre-resample states + the genealogy indices ('path');
+        # 'summary' stores the genealogy only and replays the states
+        out = (x1, idx, ll1, ess1) if store == "path" else (idx, ll1, ess1)
+        return (x2, t, ll1, ess1), out
 
     keys = jax.random.split(k_scan, data.ts.shape[0])
     t_start = data.ts[0] if t0 is None else jnp.asarray(t0, dtype)
     init = (particles, t_start, jnp.asarray(0.0, dtype),
             jnp.asarray(n, jnp.int32))
-    (_, _, ll, _), (xs_pre, anc, ll_hist, ess_hist) = jax.lax.scan(
-        step, init, (data.ts, data.ys, data.mask, keys))
+    if store == "path":
+        (_, _, ll, _), (xs_pre, anc, ll_hist, ess_hist) = jax.lax.scan(
+            step, init, (data.ts, data.ys, data.mask, keys))
+    else:
+        (_, _, ll, _), (anc, ll_hist, ess_hist) = jax.lax.scan(
+            step, init, (data.ts, data.ys, data.mask, keys))
 
     # -- backward genealogy reconstruction -------------------------------
     # surviving slot j at the end; its pre-resample index at step k is
@@ -108,25 +118,59 @@ def _interp_impl(model: Model, params: Tree, data: TimeSeries,
         return p, p
 
     _, ps = jax.lax.scan(back, jnp.arange(n), anc, reverse=True)
-    paths = jnp.take_along_axis(xs_pre, ps[:, :, None], axis=1)  # [T, N, d]
 
-    etas = jax.vmap(lambda x, t: model.link(model.f(x, t)))(paths, data.ts)
-    e_lo, e_hi = jax.vmap(
-        lambda e: credible_interval_eta(e, interval))(etas)
-    s_lo, s_hi = jax.vmap(
-        lambda x: credible_interval_state(x, interval))(paths)
+    if store == "path":
+        paths = jnp.take_along_axis(xs_pre, ps[:, :, None], axis=1)
+
+        etas = jax.vmap(lambda x, t: model.link(model.f(x, t)))(paths, data.ts)
+        e_lo, e_hi = jax.vmap(
+            lambda e: credible_interval_eta(e, interval))(etas)
+        s_lo, s_hi = jax.vmap(
+            lambda x: credible_interval_state(x, interval))(paths)
+        return InterpolationResult(
+            ll, ess_hist, paths, data.ts,
+            jnp.mean(etas, axis=1), e_lo, e_hi,
+            jnp.mean(paths, axis=1), s_lo, s_hi)
+
+    # -- store == 'summary': rematerializing replay ----------------------
+    # Re-run the propagation with the SAME per-step keys (k_prop is the
+    # first split of each stored key, exactly as in `step`), gather the
+    # smoothed cloud x1[ps[t]] and reduce it to summaries in place.  Only
+    # the [T, N] int32 genealogy (anc + ps) ever lives in HBM -- the
+    # [T, N, d] pre-resample history is never materialised.
+    def replay(carry, inp):
+        x, t_prev = carry
+        t, k, idx, p = inp
+        k_prop, _ = jax.random.split(k)
+        x1 = model.step(params, k_prop, x, t - t_prev)
+        cloud = x1[p]                              # [N, d] smoothed
+        eta = model.link(model.f(cloud, t))
+        e_lo, e_hi = credible_interval_eta(eta, interval)
+        s_lo, s_hi = credible_interval_state(cloud, interval)
+        return (x1[idx], t), (jnp.mean(eta), e_lo, e_hi,
+                              jnp.mean(cloud, axis=0), s_lo, s_hi)
+
+    _, (e_mean, e_lo, e_hi, s_mean, s_lo, s_hi) = jax.lax.scan(
+        replay, (particles, t_start), (data.ts, keys, anc, ps))
     return InterpolationResult(
-        ll, ess_hist, paths, data.ts,
-        jnp.mean(etas, axis=1), e_lo, e_hi,
-        jnp.mean(paths, axis=1), s_lo, s_hi)
+        ll, ess_hist, None, data.ts, e_mean, e_lo, e_hi, s_mean, s_lo, s_hi)
 
 
 def interpolation_memory_bytes(n_steps: int, n_particles: int,
-                               dim: int, itemsize: int = 4) -> int:
-    """Peak HBM footprint of :func:`interpolation_filter`'s history arrays:
-    the pre-resample states ``[T, N, d]``, the reconstructed paths
-    ``[T, N, d]`` (live simultaneously during the backward gather) and the
-    genealogy ``[T, N]`` int32 indices."""
+                               dim: int, itemsize: int = 4,
+                               store: str = "path") -> int:
+    """Peak HBM footprint of :func:`interpolation_filter`'s history arrays.
+
+    ``store='path'``: the pre-resample states ``[T, N, d]``, the
+    reconstructed paths ``[T, N, d]`` (live simultaneously during the
+    backward gather) and the genealogy ``[T, N]`` int32 indices.
+
+    ``store='summary'``: only the two ``[T, N]`` int32 genealogy arrays
+    (``anc`` + the backward-scan ``ps``) -- the state history is
+    rematerialised step-by-step by the replay scan, never stored.
+    """
+    if store == "summary":
+        return n_steps * n_particles * 8
     return n_steps * n_particles * (2 * dim * itemsize + 4)
 
 
@@ -134,7 +178,8 @@ def interpolation_filter(model: Model, params: Tree, data: TimeSeries,
                          n_particles: int, key, *,
                          t0: Optional[float] = None,
                          resample: str = "systematic",
-                         interval: float = 0.975) -> InterpolationResult:
+                         interval: float = 0.975,
+                         store: str = "path") -> InterpolationResult:
     """Smoothing-by-filtering: reconstruct the latent path through gaps of
     missing observations (reference Interpolate example,
     examples/Interpolate.scala:10-53).
@@ -143,15 +188,25 @@ def interpolation_filter(model: Model, params: Tree, data: TimeSeries,
     per-time clouds are *smoothed* (conditioned on all observations), so the
     credible intervals bridge the gap rather than fanning out.
 
-    Memory bound: unlike ``bootstrap_filter`` (whose ``store='ll'/'summary'``
-    paths keep only the current cloud), this filter holds the FULL
+    Memory bound: with ``store='path'`` (default) this filter holds the FULL
     ``[T, N, d]`` pre-resample history plus the reconstructed ``[T, N, d]``
     paths in HBM -- :func:`interpolation_memory_bytes` gives the footprint.
     On a 16 GB chip that caps ``T * N * d`` at roughly ``2e9`` f32 elements
     (e.g. ``T=1000, d=7`` -> ``N ~ 2.8e5``; the reference shapes, N ~ 1e3,
-    are three orders of magnitude inside it).  For larger N, filter with
-    ``store='summary'`` instead; there is no transposed/sharded variant.
+    are three orders of magnitude inside it).
+
+    ``store='summary'`` drops ``paths`` (``None`` in the result) and keeps
+    every summary column: the forward scan stores only the ``[T, N]`` int32
+    genealogy, then a second scan REPLAYS the propagation deterministically
+    from the same per-step PRNG keys, gathers each step's smoothed cloud and
+    reduces it to mean/interval in place.  Peak history footprint falls to
+    ``2 * T * N * 4`` bytes (7.5x smaller at d=7; N ~ 2e6 at T=1000 on a
+    16 GB chip) for one extra propagation pass -- cheap, since
+    ``model.step`` is a tiny fraction of the filter's cost.
     """
+    if store not in ("path", "summary"):
+        raise ValueError(
+            f"store must be 'path' or 'summary', got {store!r}")
     model.validate_params(params)
     return _interp_impl(model, params, data, n_particles, key, t0, resample,
-                        interval)
+                        interval, store)

@@ -82,6 +82,34 @@ def test_paths_are_genealogically_consistent(key):
     assert uniq_start <= uniq_end
 
 
+def test_interpolation_summary_store_matches_path(gap_case, key):
+    """store='summary' rematerialises the pre-resample history from the same
+    per-step PRNG keys, so every summary column must match store='path'
+    exactly (same ops on the same values); paths is dropped (None)."""
+    model, params, sim, full, gappy = gap_case
+    res_p = interpolation_filter(model, params, gappy, 500, key)
+    res_s = interpolation_filter(model, params, gappy, 500, key,
+                                 store="summary")
+    assert res_s.paths is None
+    np.testing.assert_array_equal(np.asarray(res_s.ll), np.asarray(res_p.ll))
+    np.testing.assert_array_equal(np.asarray(res_s.ess), np.asarray(res_p.ess))
+    for name in ("eta_mean", "eta_lower", "eta_upper",
+                 "state_lower", "state_upper"):
+        np.testing.assert_allclose(np.asarray(getattr(res_s, name)),
+                                   np.asarray(getattr(res_p, name)),
+                                   rtol=0, atol=0, err_msg=name)
+    # mean reduces [N] in-scan vs [T, N] vmapped -- same order, but allow
+    # one ulp in case XLA regroups the sum across the two program shapes
+    np.testing.assert_allclose(np.asarray(res_s.state_mean),
+                               np.asarray(res_p.state_mean), rtol=1e-6)
+
+
+def test_interpolation_summary_store_rejects_bad_mode(gap_case, key):
+    model, params, sim, full, gappy = gap_case
+    with pytest.raises(ValueError, match="store must be"):
+        interpolation_filter(model, params, gappy, 100, key, store="paths")
+
+
 def test_interpolation_memory_bound_matches_arrays():
     """The documented HBM bound (interpolation_filter docstring) counts
     exactly the history arrays the filter materialises (VERDICT r4 #10)."""
@@ -105,3 +133,7 @@ def test_interpolation_memory_bound_matches_arrays():
     assert interpolation_memory_bytes(t, n, d) == 2 * paths_bytes + t * n * 4
     # sanity: the formula at the docstring's example shapes stays < 16 GB
     assert interpolation_memory_bytes(1000, 280_000, 7) < 16 * 2**30
+    # summary tier: two [T, N] int32 genealogy arrays, d-independent
+    assert interpolation_memory_bytes(t, n, d, store="summary") == t * n * 8
+    assert interpolation_memory_bytes(1000, 2_000_000, 7,
+                                      store="summary") < 16 * 2**30
