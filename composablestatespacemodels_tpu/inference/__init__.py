@@ -4,7 +4,8 @@ from .filter import (FilterResult, Forecast, ForecastCloud, PfSummary,
                      bootstrap_filter, credible_interval_eta,
                      credible_interval_state, forecast, forecast_cloud,
                      forecast_from_posterior, forecast_times, log_likelihood)
-from .interpolation import InterpolationResult, interpolation_filter
+from .interpolation import (InterpolationResult, interpolation_filter,
+                            interpolation_memory_bytes)
 from .kalman import KalmanResult, kalman_filter
 from .lgcp import LgcpResult, lgcp_filter
 from .pmmh import (PmmhResult, PmmhState, adaptive_pmmh,
@@ -26,6 +27,7 @@ __all__ = [
     "effective_chain_size",
     "lgcp_filter", "LgcpResult",
     "interpolation_filter", "InterpolationResult",
+    "interpolation_memory_bytes",
     "bootstrap_filter", "log_likelihood", "FilterResult", "PfSummary",
     "Forecast", "ForecastCloud", "forecast", "forecast_cloud",
     "forecast_times", "forecast_from_posterior",
