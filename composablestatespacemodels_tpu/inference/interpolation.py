@@ -17,6 +17,7 @@ pass) -- counter-based ``jax.random`` makes replay free of state.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Optional
 
@@ -138,6 +139,27 @@ def _interp_impl(model: Model, params: Tree, data: TimeSeries,
     # smoothed cloud x1[ps[t]] and reduce it to summaries in place.  Only
     # the [T, N] int32 genealogy (anc + ps) ever lives in HBM -- the
     # [T, N, d] pre-resample history is never materialised.
+    def intervals(cloud, eta):
+        # Two per-step [N] sorts dominate the replay at large N; 32-round
+        # bit-bisection selection (ops/selection.py) returns the SAME order
+        # statistics bit-identically without sorting (one [d+1, 2]
+        # selection per step).  Fall back to the sort path off f32 or for
+        # non-scalar eta.
+        if (cloud.dtype == jnp.float32 and eta.dtype == jnp.float32
+                and eta.ndim == 1):
+            from ..ops.selection import kth_smallest_bits
+            d = cloud.shape[1]
+            idx = math.floor(n * interval)
+            ks_state = ((n - idx - 1) % n, (idx - 1) % n)
+            ks_eta = ((n - idx) % n, min(idx, n - 1))
+            ks = jnp.asarray([ks_state] * d + [ks_eta], jnp.int32)  # [d+1, 2]
+            vals = jnp.concatenate([cloud.T, eta[None, :]], axis=0)
+            sel = kth_smallest_bits(vals, ks)
+            return sel[d, 0], sel[d, 1], sel[:d, 0], sel[:d, 1]
+        e_lo, e_hi = credible_interval_eta(eta, interval)
+        s_lo, s_hi = credible_interval_state(cloud, interval)
+        return e_lo, e_hi, s_lo, s_hi
+
     def replay(carry, inp):
         x, t_prev = carry
         t, k, idx, p = inp
@@ -145,8 +167,7 @@ def _interp_impl(model: Model, params: Tree, data: TimeSeries,
         x1 = model.step(params, k_prop, x, t - t_prev)
         cloud = x1[p]                              # [N, d] smoothed
         eta = model.link(model.f(cloud, t))
-        e_lo, e_hi = credible_interval_eta(eta, interval)
-        s_lo, s_hi = credible_interval_state(cloud, interval)
+        e_lo, e_hi, s_lo, s_hi = intervals(cloud, eta)
         return (x1[idx], t), (jnp.mean(eta), e_lo, e_hi,
                               jnp.mean(cloud, axis=0), s_lo, s_hi)
 
